@@ -1,0 +1,188 @@
+"""Event-stream operators over the ``events`` table (batch forms).
+
+The reference has no streaming surface (SURVEY.md section 2.9); these are
+the north-star expansion: JSON extraction from the ``props`` payload,
+event-time tumbling/sliding windows, and gap-based sessionization. The
+batch plans here are the semantic ground truth for the Structured Streaming
+variants in ``streaming/`` (same expressions over ``readStream``), which is
+exactly how Spark encourages stream/batch unification.
+
+Scale posture: time-windowed aggregation groups by (window, type) — the
+shuffle carries one partial row per (partition, window, type), not events.
+Sessionization shuffles once on user_id; state per user is bounded by the
+session gap in the streaming variant (watermark-evicted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numerics import sql_stable_sum, stable_sum
+from .registry import query
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+        SELECT event_id, event_type,
+               CAST(props->>'$.k' AS INTEGER) AS k
+        FROM events WHERE event_id < 500
+    """,
+    covers="expansion 2.8 (JSON extraction on events.props, F.get_json_object)",
+)
+def events_json_extract(spark, t):
+    """Pull a typed field out of the JSON ``props`` string."""
+    return (
+        t["events"]
+        .where(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+        SELECT DATE_TRUNC('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               {sql_stable_sum('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    covers="2.9 expansion (event-time tumbling window, F.window)",
+)
+def events_tumbling_window(spark, t):
+    """Hourly tumbling-window aggregate. Uses ``F.window`` (the streaming-
+    compatible form); hour windows align with DATE_TRUNC('hour')."""
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), stable_sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+        WITH win AS (
+            SELECT e.*,
+                   DATE_TRUNC('hour', ts)
+                     - CASE WHEN EXTRACT(MINUTE FROM ts) < 30
+                            THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                     + s.off * INTERVAL 30 MINUTE AS window_start
+            FROM events e, (SELECT UNNEST([0, 1]) AS off) s
+        )
+        SELECT window_start, COUNT(*) AS n, {sql_stable_sum('value')} AS total_value
+        FROM win
+        WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+        GROUP BY window_start
+    """,
+    covers="2.9 expansion (sliding window: 1h length, 30m slide)",
+)
+def events_sliding_window(spark, t):
+    """Sliding 1-hour windows every 30 minutes — each event lands in two
+    windows. The oracle reproduces Spark's window assignment by generating
+    both candidate starts per event."""
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), stable_sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                             > 1800000000
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    covers="2.9 expansion (sessionization: lag-gap + cumulative-sum pattern)",
+)
+def events_sessionize(spark, t):
+    """Gap-based sessionization (30-minute inactivity closes a session):
+    lag to flag session starts, running sum to number sessions, then a
+    per-session rollup. One shuffle on user_id serves both windows and the
+    final aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    # Compare gaps at microsecond precision — truncating to whole seconds
+    # would disagree with the oracle's interval comparison on sub-second gaps.
+    # unix_micros needs TIMESTAMP; the ntz->tz cast is exact under the
+    # pinned UTC session.
+    as_micros = lambda c: F.unix_micros(c.cast("timestamp"))
+    is_new = (
+        prev_ts.isNull()
+        | (as_micros(F.col("ts")) - as_micros(prev_ts) > 30 * 60 * 1_000_000)
+    ).cast("long")
+    return (
+        t["events"]
+        .select("user_id", "ts", "event_id")
+        .withColumn("session_id", F.sum(is_new).over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "events_dedup_latest_state",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    covers="2.9 expansion (latest-state per key: dropDuplicates-ordered pattern)",
+)
+def events_dedup_latest_state(spark, t):
+    """Latest event per user — the batch form of streaming 'latest state'
+    (deduplicate keeping the max-timestamp row per key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Registry of named queries: the driver-facing catalog of every implemented
+operator (SURVEY.md section 2 plus the LLM-data-pipeline expansion).
+
+Each entry pairs a PySpark builder ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL oracle string DuckDB runs on the same parquet, or
+``oracle=None`` for genuinely non-SQL-expressible operators (the driver then
+records a weaker rows-only check).
+
+Determinism contract for every registered query (the hash compare demands it):
+- any LIMIT is backed by a total order (unique tie-break column);
+- float aggregations use the stable decimal-sum helpers (functions/numerics);
+- no wall-clock dependence (fixed date literals, not CURRENT_DATE);
+- timestamps compared under UTC session timezone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import register_views
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    #: SURVEY.md section-2 row(s) / capability this entry covers, for the
+    #: coverage audit.
+    covers: str = ""
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(name: str, oracle: str | None, covers: str = ""):
+    """Decorator: register ``fn(spark, tables) -> DataFrame`` under ``name``.
+
+    The wrapped function receives the dict of table DataFrames; view
+    registration (and UTC pinning) happens here so individual operators stay
+    declarative.
+    """
+
+    def deco(fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tables = register_views(spark, sf_dir)
+            return fn(spark, tables)
+
+        wrapped.__name__ = f"query_{name}"
+        wrapped.__doc__ = fn.__doc__
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = RegisteredQuery(name=name, fn=wrapped, oracle=oracle, covers=covers)
+        return wrapped
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: rq.fn for name, rq in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: rq.oracle for name, rq in REGISTRY.items() if rq.oracle is not None}
+
+
+def _ensure_loaded() -> None:
+    """Import every operator module for its registration side effects."""
+    from . import relational  # noqa: F401
+    from . import tpch  # noqa: F401
+    from . import events  # noqa: F401
+    from . import text_analysis  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import multimodal  # noqa: F401

@@ -1,0 +1,751 @@
+"""Relational operator inventory (SURVEY.md section 2), re-expressed as
+idiomatic DataFrame plans over the star-schema test tables.
+
+Every reference operator row (scan/project/filter/aggregate/sort/limit from
+``core/ai_query_generator.py:178-281`` and the admin/introspection SQL) is
+mapped onto its structural twin per FIXTURES.md section 4 — ``department`` ->
+``c_mktsegment``/``o_orderpriority``, ``salary`` thresholds -> ``c_acctbal``/
+``o_totalprice``, date branches -> ``o_orderdate``, name sort+limit ->
+``c_name`` — then extended with the multi-table surface the reference lacks
+(joins, windows, set ops) per the north star.
+
+Scale notes, applied throughout:
+- filters/projections are plain Catalyst expressions -> parquet pushdown and
+  column pruning happen for free (verified in tests/test_plans.py);
+- small dimensions (region/nation/supplier) are explicitly broadcast in
+  multi-way joins, so the big fact tables never shuffle for them;
+- every LIMIT rides on a total order (unique tie-break) -> deterministic
+  top-k via TakeOrderedAndProject, no global sort of the full table;
+- float sums use the exact decimal reduction from functions/numerics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numerics import sql_stable_avg, sql_stable_sum, stable_avg, stable_sum
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Scans / projections (S1, S3, P1-P4, O1, O4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_project_limit",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer ORDER BY c_name LIMIT 100
+    """,
+    covers="S1 S3 P2 O1 O4 (list branch core/ai_query_generator.py:230)",
+)
+def scan_project_limit(spark, t):
+    """Projected scan with presentation ordering and a limit — the
+    reference's 'list all employees' branch (ORDER BY name LIMIT 100)."""
+    return (
+        t["customer"]
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_name")  # c_name is unique -> deterministic top-100
+        .limit(100)
+    )
+
+
+@query(
+    "project_all",
+    oracle="SELECT * FROM region",
+    covers="P1 (SELECT * branch core/ai_query_generator.py:209-210)",
+)
+def project_all(spark, t):
+    """SELECT * — the 'details/information/everything' branch."""
+    return t["region"].select("*")
+
+
+@query(
+    "project_computed_alias",
+    oracle="""
+        SELECT doc_id,
+               COALESCE(lang, 'und') AS lang_c,
+               ROUND(n_chars / 100.0, 2) AS hchars
+        FROM documents
+    """,
+    covers="P3 P4 X6 X10 (aliased computed cols, COALESCE core/ai_query_generator.py:258)",
+)
+def project_computed_alias(spark, t):
+    """Aliased computed projection with null-coalescing."""
+    return t["documents"].select(
+        "doc_id",
+        F.coalesce("lang", F.lit("und")).alias("lang_c"),
+        F.round(F.col("n_chars") / 100.0, 2).alias("hchars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters (F1-F8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_threshold_topk",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_acctbal > 5000
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 50
+    """,
+    covers="F1 O2 O5 (salary>threshold branch core/ai_query_generator.py:240-246)",
+)
+def filter_threshold_topk(spark, t):
+    """Numeric threshold filter + ORDER BY DESC LIMIT — the 'salary greater
+    than X' branch. Executes as TakeOrderedAndProject (no full sort)."""
+    return (
+        t["customer"]
+        .select("c_custkey", "c_name", "c_acctbal")
+        .where(F.col("c_acctbal") > 5000)
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(50)
+    )
+
+
+@query(
+    "filter_between",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_totalprice BETWEEN 40000 AND 80000
+    """,
+    covers="F2 (BETWEEN, example corpus core/views.py:80)",
+)
+def filter_between(spark, t):
+    """Range filter — 'earning between 40000 and 80000'."""
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .where(F.col("o_totalprice").between(40000, 80000))
+    )
+
+
+@query(
+    "filter_ilike_lower",
+    oracle="""
+        SELECT p_partkey, p_name, p_type
+        FROM part WHERE LOWER(p_type) LIKE '%promo%'
+    """,
+    covers="F3 X1 X2 (LOWER+LIKE branch core/ai_query_generator.py:222,237)",
+)
+def filter_ilike_lower(spark, t):
+    """Case-insensitive substring match, exactly the LOWER()+LIKE form the
+    reference emits for department matching."""
+    return (
+        t["part"]
+        .select("p_partkey", "p_name", "p_type")
+        .where(F.lower(F.col("p_type")).like("%promo%"))
+    )
+
+
+@query(
+    "filter_ilike_operator",
+    oracle="SELECT s_suppkey, s_name FROM supplier WHERE s_name ILIKE '%supplier#000000%'",
+    covers="F8 X2 (ILIKE path, prompt rule core/ai_query_generator.py:106,122; gmail example core/views.py:83)",
+)
+def filter_ilike_operator(spark, t):
+    """The ILIKE spelling (prompt-sanctioned alternative to LOWER+LIKE)."""
+    return (
+        t["supplier"]
+        .select("s_suppkey", "s_name")
+        .where(F.col("s_name").ilike("%supplier#000000%"))
+    )
+
+
+@query(
+    "filter_not_null_group_count",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS count
+        FROM orders WHERE o_orderpriority IS NOT NULL
+        GROUP BY o_orderpriority
+    """,
+    covers="F4 A3 (NULL-guarded group-count core/ai_query_generator.py:224)",
+)
+def filter_not_null_group_count(spark, t):
+    """IS NOT NULL guard + GROUP BY + COUNT — the 'count per department'
+    branch. Partial (map-side) aggregation makes this a tiny shuffle even on
+    a 100 TB fact table: 5 groups in, 5 rows out per partition."""
+    return (
+        t["orders"]
+        .where(F.col("o_orderpriority").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+@query(
+    "filter_date_range",
+    oracle="""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    covers="F5 X3 X4 (relative-date branch core/ai_query_generator.py:254-259, pinned literal per SURVEY 7.2)",
+)
+def filter_date_range(spark, t):
+    """Date lower-bound filter ('recent hires'). The reference uses
+    CURRENT_DATE - INTERVAL '1 year'; tests pin a literal anchor so results
+    are date-stable (SURVEY.md 7.2). Pushed down to the parquet scan."""
+    return (
+        t["orders"]
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+    )
+
+
+@query(
+    "filter_year_extract",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND o_totalprice > 400000
+    """,
+    covers="F6 X5 (calendar-year branch core/ai_query_generator.py:260-266)",
+)
+def filter_year_extract(spark, t):
+    """EXTRACT(YEAR) equality — the 'this year' branch shape."""
+    return (
+        t["orders"]
+        .where((F.year("o_orderdate") == 1997) & (F.col("o_totalprice") > 400000))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "filter_disjunction",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE (o_orderpriority = '1-URGENT' OR o_totalprice > 450000)
+          AND o_orderstatus = 'F'
+    """,
+    covers="F7 (OR across predicates core/ai_query_generator.py:256-257,263-264)",
+)
+def filter_disjunction(spark, t):
+    """Disjunctive predicate under a conjunction."""
+    return (
+        t["orders"]
+        .where(
+            ((F.col("o_orderpriority") == "1-URGENT") | (F.col("o_totalprice") > 450000))
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A6 + expansion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_count_star",
+    oracle="SELECT COUNT(*) AS total_rows FROM lineitem",
+    covers="A1 (scalar count core/ai_query_generator.py:226)",
+)
+def agg_count_star(spark, t):
+    """Global COUNT(*) — 'how many employees'."""
+    return t["lineitem"].agg(F.count("*").alias("total_rows"))
+
+
+@query(
+    "agg_filtered_count",
+    oracle="""
+        SELECT COUNT(*) AS count
+        FROM customer WHERE LOWER(c_mktsegment) LIKE '%build%'
+    """,
+    covers="A2 (filtered count branch core/ai_query_generator.py:219-222)",
+)
+def agg_filtered_count(spark, t):
+    """COUNT with a case-insensitive predicate — 'how many in IT'."""
+    return (
+        t["customer"]
+        .where(F.lower(F.col("c_mktsegment")).like("%build%"))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+@query(
+    "agg_min_max_avg",
+    oracle=f"""
+        SELECT MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+               {sql_stable_avg('c_acctbal')} AS avg_bal,
+               COUNT(c_acctbal) AS n
+        FROM customer WHERE c_acctbal IS NOT NULL
+    """,
+    covers="A4 (min/max/avg stats inspect_table.py:141-145)",
+)
+def agg_min_max_avg(spark, t):
+    """Salary-stats shape: MIN/MAX/AVG with NULL guard. AVG uses the exact
+    decimal-sum reduction so the value is order-independent."""
+    return (
+        t["customer"]
+        .where(F.col("c_acctbal").isNotNull())
+        .agg(
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            stable_avg("c_acctbal").alias("avg_bal"),
+            F.count("c_acctbal").alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_group_avg",
+    oracle=f"""
+        SELECT c_mktsegment, {sql_stable_avg('c_acctbal')} AS avg_acctbal,
+               COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment
+    """,
+    covers="A5 (group-by average, example corpus core/views.py:82)",
+)
+def agg_group_avg(spark, t):
+    """'Average salary by department' shape."""
+    return (
+        t["customer"]
+        .groupBy("c_mktsegment")
+        .agg(stable_avg("c_acctbal").alias("avg_acctbal"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="SELECT DISTINCT o_orderstatus FROM orders",
+    covers="A6 (DISTINCT department core/ai_query_generator.py:63)",
+)
+def agg_distinct(spark, t):
+    """DISTINCT on a low-cardinality column — partial-agg shuffle of a
+    handful of values regardless of fact-table size."""
+    return t["orders"].select("o_orderstatus").distinct()
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderstatus
+    """,
+    covers="expansion 2.4 (COUNT DISTINCT; validator-admitted, never emitted by reference)",
+)
+def agg_count_distinct(spark, t):
+    """Exact distinct aggregation (Spark expands to a two-phase plan)."""
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "case_when_bucketing",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'high' END AS bucket,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    """,
+    covers="expansion (CASE bucketing; generalizes threshold branches)",
+)
+def case_when_bucketing(spark, t):
+    """Derived categorical bucketing + count."""
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("bucket")
+    )
+    return t["orders"].groupBy(bucket).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O1-O5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi_col_limit",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    covers="O1 O2 O3 O4 (mixed-direction sort + limit core/ai_query_generator.py:224,246,258)",
+)
+def sort_multi_col_limit(spark, t):
+    """Mixed asc/desc multi-column sort with limit -> TakeOrderedAndProject."""
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderstatus", F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "topk_global",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    covers="O5 ('highest paid' = sort+limit core/views.py:75, core/ai_query_generator.py:246)",
+)
+def topk_global(spark, t):
+    """Global top-k — per-partition top-k then merge on the driver; never a
+    full sort."""
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY 2.3 — reference has none; north-star multi-table surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_filtered",
+    oracle="""
+        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 400000
+    """,
+    covers="2.3 joins (inner equi-join; latent manager self-join generalized)",
+)
+def join_inner_filtered(spark, t):
+    """Inner equi-join with selective filters on both sides. Both filters
+    reach the parquet scans before the join; AQE picks broadcast vs
+    sort-merge from runtime sizes."""
+    o = t["orders"].where(F.col("o_totalprice") > 400000)
+    c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_agg",
+    oracle="""
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+    covers="2.3 joins (left outer + aggregate)",
+)
+def join_left_agg(spark, t):
+    """Left join preserving customers with zero orders (COUNT of a nullable
+    key -> 0 for the unmatched)."""
+    c = t["customer"]
+    o = t["orders"]
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+    covers="2.3 joins (left-semi = EXISTS)",
+)
+def join_semi(spark, t):
+    """Semi join: customers having at least one big order. Semi joins ship
+    only the join key of the probe side — the cheapest existence test at
+    scale."""
+    big = t["orders"].where(F.col("o_totalprice") > 450000)
+    return (
+        t["customer"]
+        .join(big, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    covers="2.3 joins (left-anti = NOT EXISTS)",
+)
+def join_anti(spark, t):
+    """Anti join: customers who never placed a big order. (The unfiltered
+    variant — customers with no orders at all — is empty at every test SF,
+    which would make the oracle check vacuous.)"""
+    big = t["orders"].where(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_star_flagship",
+    oracle=f"""
+        SELECT r.r_name, c.c_mktsegment,
+               {sql_stable_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, c.c_mktsegment
+    """,
+    covers="2.3 joins (multi-way star, broadcast dims) — the flagship entry() query",
+)
+def join_star_flagship(spark, t):
+    """Revenue by region x market segment over the full star schema.
+
+    The scale-critical choices: nation and region are broadcast (they are
+    O(10^2) rows at any scale factor, so the 100 TB fact side never shuffles
+    for them); lineitem->orders->customer are key shuffles that AQE can
+    re-plan; revenue uses the exact decimal reduction.
+    """
+    l, o, c = t["lineitem"], t["orders"], t["customer"]
+    n, r = t["nation"], t["region"]
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY 2.5 — expansion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_per_group",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    covers="2.5 windows (top-k per group: row_number over partition)",
+)
+def window_rank_per_group(spark, t):
+    """Top-3 orders per customer — the 'top earners per department' class.
+    One hash-partition shuffle on the window key; no global sort."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6)))
+                    OVER (PARTITION BY s_nationkey
+                          ORDER BY s_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_bal
+        FROM supplier
+    """,
+    covers="2.5 windows (running aggregate with frame spec)",
+)
+def window_running_sum(spark, t):
+    """Running total per partition with an explicit rows frame. The decimal
+    cast keeps the running values engine-exact (window sums may be computed
+    by segment trees whose association differs between engines)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["supplier"].select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.sum(F.col("s_acctbal").cast("decimal(18,6)")).over(w).cast("double").alias("running_bal"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate,
+               DATE_DIFF('day',
+                         CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                     ORDER BY o_orderdate, o_orderkey) AS DATE),
+                         CAST(o_orderdate AS DATE)) AS days_since_prev
+        FROM orders
+    """,
+    covers="2.5 windows (lag/lead navigation)",
+)
+def window_lag_delta(spark, t):
+    """Days between consecutive orders per customer (lag navigation)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    prev = F.lag(F.col("o_orderdate")).over(w).cast("date")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("o_orderdate"),
+        F.datediff(d, prev).cast("long").alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY 2.7 — expansion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+    """,
+    covers="2.7 set ops (UNION distinct)",
+)
+def set_union(spark, t):
+    """UNION (distinct) of nation keys appearing on either side."""
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    covers="2.7 set ops (INTERSECT)",
+)
+def set_intersect(spark, t):
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+    """,
+    covers="2.7 set ops (EXCEPT)",
+)
+def set_except(spark, t):
+    """EXCEPT: customers minus those with a 450k+ order (non-empty at every
+    test SF, unlike nationkey differences)."""
+    c = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    o = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (SURVEY 2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+        SELECT n_nationkey,
+               LOWER(n_name) AS lname,
+               UPPER(n_name) AS uname,
+               LENGTH(n_name) AS name_len,
+               SUBSTR(n_name, 1, 6) AS prefix,
+               CONCAT_WS('-', n_name, CAST(n_nationkey AS VARCHAR)) AS tag,
+               COALESCE(NULL, n_name) AS coalesced,
+               ROUND(n_nationkey / 7.0, 2) AS septile
+        FROM nation
+    """,
+    covers="X1 X6 X10 X11 + concat/substr/length (admin full-name concat core/admin.py:193-199)",
+)
+def scalar_functions(spark, t):
+    """String/number scalar-function surface in one projection."""
+    n = t["nation"]
+    return n.select(
+        "n_nationkey",
+        F.lower("n_name").alias("lname"),
+        F.upper("n_name").alias("uname"),
+        F.length("n_name").cast("long").alias("name_len"),
+        F.substring("n_name", 1, 6).alias("prefix"),
+        F.concat_ws("-", F.col("n_name"), F.col("n_nationkey").cast("string")).alias("tag"),
+        F.coalesce(F.lit(None), F.col("n_name")).alias("coalesced"),
+        F.round(F.col("n_nationkey") / 7.0, 2).alias("septile"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
+               EXTRACT(MONTH FROM o_orderdate) AS mth,
+               EXTRACT(DAY FROM o_orderdate) AS dom,
+               CAST(o_orderdate + INTERVAL 12 MONTH AS DATE) AS plus_year,
+               DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0
+        FROM orders
+        WHERE o_orderkey <= 100
+    """,
+    covers="X3 X4 X5 X9 X12 (date arithmetic core/ai_query_generator.py:256-266, years-of-service core/models.py:46-56)",
+)
+def date_functions(spark, t):
+    """Date extraction and interval arithmetic (add_months = the pinned
+    INTERVAL '1 year' semantics per SURVEY 7.2)."""
+    o = t["orders"].where(F.col("o_orderkey") <= 100)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mth"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.add_months(d, 12).alias("plus_year"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch0"),
+    )

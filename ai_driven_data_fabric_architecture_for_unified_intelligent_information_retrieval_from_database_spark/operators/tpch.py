@@ -1,0 +1,221 @@
+"""TPC-H-shaped analytical queries over the test star schema — the headline
+benchmark set (bench.py runs these at sf0.1).
+
+These exercise the operator combinations that dominate real OLAP work:
+wide-group aggregation with many measures (Q1), selective fact filter with
+join + top-k (Q3-ish), multi-way star join with two fact-side shuffles
+(Q5-ish), and a pure scan-filter-reduce (Q6-ish). Column names are adapted
+to the driver's simplified schema (TESTDATA.md / FIXTURES.md section 3).
+
+Scale posture: every query here is a declarative plan — Catalyst pushes the
+date/price predicates into the parquet scans, AQE sizes the shuffles, and
+the only broadcast hints are on true dimension tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numerics import sql_stable_avg, sql_stable_sum, stable_avg, stable_sum
+from .registry import query
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_stable_sum('l_quantity')} AS sum_qty,
+               {sql_stable_sum('l_extendedprice')} AS sum_base_price,
+               {sql_stable_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_stable_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {sql_stable_avg('l_quantity')} AS avg_qty,
+               {sql_stable_avg('l_extendedprice')} AS avg_price,
+               {sql_stable_avg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    covers="TPC-H Q1 shape: wide multi-measure aggregation (A1-A5 generalized)",
+)
+def tpch_q1(spark, t):
+    """Pricing summary report: 2 group keys, 8 measures, one scan.
+
+    Partial aggregation reduces each of N input partitions to <=6 group rows
+    before the shuffle — the canonical map-side-combine win.
+    """
+    l = t["lineitem"].where(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_sum("l_quantity").alias("sum_qty"),
+            stable_sum("l_extendedprice").alias("sum_base_price"),
+            stable_sum(disc_price).alias("sum_disc_price"),
+            stable_sum(charge).alias("sum_charge"),
+            stable_avg("l_quantity").alias("avg_qty"),
+            stable_avg("l_extendedprice").alias("avg_price"),
+            stable_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_stable_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    covers="TPC-H Q3 shape: selective join + grouped top-k",
+)
+def tpch_q3(spark, t):
+    """Unshipped-orders revenue top-10. Filters cut both fact sides before
+    the joins; final top-k is TakeOrderedAndProject over the grouped rows."""
+    c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].where(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = t["lineitem"].where(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+        SELECT n.n_name,
+               {sql_stable_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    covers="TPC-H Q5 shape: six-way join with compound join condition",
+)
+def tpch_q5(spark, t):
+    """Local-supplier volume: the compound l_suppkey+nationkey condition
+    forces a genuine multi-way plan; supplier/nation/region are broadcast."""
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+        SELECT {sql_stable_sum('l_extendedprice * l_discount')} AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    covers="TPC-H Q6 shape: scan-filter-reduce (pure pushdown path)",
+)
+def tpch_q6(spark, t):
+    """Forecast revenue change: no shuffle at all — filters push into the
+    parquet scan and the global aggregate is a single-stage reduce."""
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        stable_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "grouping_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    covers="2.4 expansion (ROLLUP grouping sets)",
+)
+def grouping_rollup(spark, t):
+    """Hierarchical subtotals via ROLLUP (absent from the reference; stock
+    Spark `rollup`)."""
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        FROM orders GROUP BY o_orderpriority
+    """,
+    covers="2.4 expansion (pivot = conditional aggregation)",
+)
+def pivot_status_by_priority(spark, t):
+    """Pivot order counts by status. Expressed as conditional aggregation
+    (identical semantics to `.pivot()` but with a stable column set)."""
+    o = t["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("f_cnt"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("o_cnt"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("p_cnt"),
+    )

@@ -1,0 +1,114 @@
+"""Differential oracle tests — the local replica of the driver's t2 gate.
+
+For every registered query with an oracle, run the PySpark plan at sf0.01
+and the oracle SQL through DuckDB on the same parquet, then compare:
+row count, sorted column names, and the order-insensitive multiset of
+normalized row values. Exact float equality is intentional — operators are
+engineered (decimal-sum reductions, pinned literals, UTC) so both engines
+produce bitwise-identical doubles.
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from conftest import SF_ORACLE
+
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.registry import (
+    REGISTRY,
+    _ensure_loaded,
+    oracle_sql,
+    queries,
+)
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+    STAR_TABLES,
+)
+
+_ensure_loaded()
+
+
+def _normalize(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_normalize(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def _canon(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    body = sorted(tuple(_normalize(r[i]) for i in order) for r in rows)
+    return cols, body
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+ORACLE_NAMES = sorted(oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = queries()[name]
+    sdf = q(spark, SF_ORACLE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    cur = ddb.execute(oracle_sql()[name])
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duckdb={len(duck_rows)}"
+    )
+    # A 0-row match is vacuous — every registered query must actually
+    # exercise data at the oracle SF (caught a literal-vs-data mismatch once).
+    assert len(spark_rows) > 0, f"{name}: vacuous oracle check (0 rows)"
+    s_cols, s_body = _canon(spark_cols, spark_rows)
+    d_cols, d_body = _canon(duck_cols, duck_rows)
+    assert s_cols == d_cols, f"{name}: columns spark={s_cols} duckdb={d_cols}"
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_body, d_body)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+def test_all_queries_have_coverage_note():
+    for name, rq in REGISTRY.items():
+        assert rq.covers, f"{name} lacks a SURVEY coverage note"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle still must run and return a stable schema."""
+    rows_only = [n for n, rq in REGISTRY.items() if rq.oracle is None]
+    for name in rows_only:
+        df = queries()[name](spark, SF_ORACLE)
+        assert df.columns, name
+        df.limit(5).collect()
