@@ -1,0 +1,80 @@
+"""Shared text-expression builders used by the text-analysis and dedup
+operators. Everything here is a plain Catalyst column expression (JVM-side,
+codegen'd) — no Python UDFs in any hot path.
+
+Cross-engine notes (these expressions are oracle-compared against DuckDB):
+- ``split(text, ' ')`` and DuckDB ``string_split`` agree on single-space
+  word-salad input (verified, including empty-token behavior);
+- occurrence counting uses the replace-length trick, which both engines
+  implement as non-overlapping left-to-right replacement;
+- word shingles via ``sequence``+``slice``+``array_join`` agree with
+  DuckDB list slicing ``ws[i:i+2]`` including the short-tail behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def words_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str = "text") -> Column:
+    """Whitespace token count, as BIGINT (DuckDB len() width)."""
+    return F.size(words_col(text)).cast("long")
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of ``needle`` in ``text``."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def sql_occurrences(text_expr: str, needle: str) -> str:
+    """DuckDB twin of :func:`occurrences` (needle must be quote-safe)."""
+    return (
+        f"CAST((LENGTH({text_expr}) - LENGTH(REPLACE({text_expr}, '{needle}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+def shingles_expr(words: str = "ws", n: int = 3) -> Column:
+    """Word n-gram shingles of the array column ``words`` (default 3-grams).
+
+    Short documents (< n words) produce one truncated shingle, matching
+    DuckDB's permissive list slicing.
+    """
+    return F.expr(
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
+        f" i -> array_join(slice({words}, i, {n}), ' '))"
+    )
+
+
+def normalized_text(text: Column | str = "text") -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum (keep
+    spaces), collapse runs of spaces, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+SQL_NORMALIZED_TEXT = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER({t}), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+#: Tiny per-language stopword marker sets for the heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " que "],
+    "fr": [" le ", " les ", " des "],
+    "de": [" der ", " die ", " und "],
+}

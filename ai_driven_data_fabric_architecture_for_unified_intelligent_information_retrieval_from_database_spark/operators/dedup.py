@@ -1,1 +1,312 @@
-"""Placeholder module — filled in by the dedup milestone."""
+"""Deduplication operators over the ``documents`` table — exact, near-dup
+via n-gram Jaccard, MinHash+LSH, and SimHash. North-star expansion: the
+reference has no dedup surface; these are the standard stages of an LLM
+training-data pipeline, expressed Spark-first.
+
+Scale design:
+- exact dedup is hash-groupBy on a digest — the shuffle carries (16-byte
+  hash, count) pairs, never document bodies;
+- the exact pairwise Jaccard is the *oracle-checkable ground truth*; it is
+  quadratic in colliding shingles and exists to validate the LSH variants;
+- MinHash+LSH is the scale path: signatures are a fixed-width aggregate per
+  doc (one shuffle), banding turns all-pairs into an equi-join on band keys,
+  and only candidate pairs pay the exact-verification join. At 100 TB the
+  all-pairs join is impossible and this is the operator you run.
+- All hashing is deterministic (xxhash64 with fixed salts) — no RNG, so
+  retries and the test harness see identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import normalized_text, shingles_expr, words_col
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _corpus_with_dupes(t) -> DataFrame:
+    """documents plus a re-injected sample (doc_id % 7 == 0) — the driver
+    corpus has no byte-identical duplicates, so exact-dedup demos re-inject
+    some to have something to find."""
+    d = t["documents"]
+    return d.unionAll(d.where(F.col("doc_id") % 7 == 0))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        WITH corpus AS (
+            SELECT * FROM documents
+            UNION ALL SELECT * FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT MD5(text) AS text_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM corpus
+        GROUP BY MD5(text)
+        HAVING COUNT(*) > 1
+    """,
+    covers="pipeline: exact dedup (content-hash groupBy, keep-first policy)",
+)
+def dedup_exact(spark, t):
+    """Exact duplicate groups by content hash with keep-lowest-id policy."""
+    return (
+        _corpus_with_dupes(t)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_normalized_groups",
+    oracle="""
+        SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+        FROM (
+            SELECT doc_id,
+                   MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents
+        )
+        GROUP BY fp
+    """,
+    covers="pipeline: normalize-then-hash dedup grouping",
+)
+def dedup_normalized_groups(spark, t):
+    """Duplicate-candidate groups under canonical normalization."""
+    return (
+        t["documents"]
+        .select("doc_id", F.md5(normalized_text()).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup ground truth: exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _distinct_shingles(t) -> DataFrame:
+    return (
+        t["documents"]
+        .select("doc_id", words_col().alias("ws"))
+        .select("doc_id", F.explode(shingles_expr("ws", 3)).alias("sh"))
+        .distinct()
+    )
+
+
+JACCARD_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        ii AS (SELECT doc_id, ws,
+                      UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+               FROM w),
+        sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS sh FROM ii),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id, n_common,
+               CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    covers="pipeline: near-dup detection, exact 3-gram Jaccard (LSH ground truth)",
+)
+def dedup_ngram_jaccard(spark, t):
+    """All near-duplicate pairs by exact 3-shingle Jaccard >= 0.4.
+
+    The shingle self-join is the textbook inverted-index intersection:
+    shuffle on shingle, pairs emerge only where sets actually overlap.
+    Correct at any scale but quadratic in hot shingles — the LSH variants
+    below exist because of exactly that; this one is the truth they are
+    measured against.
+    """
+    sh = _distinct_shingles(t)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", "n_common", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+N_PERM = 16  # MinHash permutations
+N_BANDS = 4  # LSH bands of N_PERM / N_BANDS rows each
+
+
+def minhash_signatures(t) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of xxhash64(shingle, salt_p)
+    for each of N_PERM salted hash functions. One explode + one groupBy —
+    the shuffle carries (doc_id, 16 longs), independent of document size."""
+    sh = _distinct_shingles(t)
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(p))).alias(f"h{p}") for p in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 is Spark-specific; validated against
+    # dedup_ngram_jaccard in tests/test_dedup.py (recall on >=0.6 pairs)
+    covers="pipeline: MinHash+LSH near-dup candidates (banded signature join)",
+)
+def dedup_minhash_lsh(spark, t):
+    """LSH candidate pairs, verified by estimated Jaccard from signatures.
+
+    Banding: 4 bands x 4 rows; docs sharing any band key become candidates
+    (an equi-join on the band hash — no all-pairs comparison anywhere).
+    Candidates are scored by signature agreement (unbiased Jaccard
+    estimate) and kept at >= 0.5.
+    """
+    sig = minhash_signatures(t)
+    rows_per_band = N_PERM // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+        *[F.col(f"h{p}") for p in range(N_PERM)],
+    )
+    candidates = None
+    for b in range(N_BANDS):
+        a_side = bands.select(
+            F.col("doc_id").alias("a_id"),
+            F.col(f"band{b}").alias("bk"),
+            *[F.col(f"h{p}").alias(f"ah{p}") for p in range(N_PERM)],
+        )
+        b_side = bands.select(
+            F.col("doc_id").alias("b_id"),
+            F.col(f"band{b}").alias("bk"),
+            *[F.col(f"h{p}").alias(f"bh{p}") for p in range(N_PERM)],
+        )
+        cand = a_side.join(b_side, "bk").where(F.col("a_id") < F.col("b_id"))
+        candidates = cand if candidates is None else candidates.unionAll(cand)
+    agree = sum(
+        F.when(F.col(f"ah{p}") == F.col(f"bh{p}"), 1).otherwise(0)
+        for p in range(N_PERM)
+    )
+    return (
+        candidates.select("a_id", "b_id", agree.alias("n_agree"))
+        .groupBy("a_id", "b_id")
+        .agg(F.max("n_agree").alias("n_agree"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("n_agree") / float(N_PERM)).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+# <=3 is the classic 64-bit SimHash near-dup radius; measured on this corpus:
+# precision 0.88 / recall 0.60 against exact Jaccard>=0.4 pairs (hamming 6
+# drops precision to ~0.19 — shared vocabulary collides).
+HAMMING_MAX = 3
+
+
+def simhash_signatures(t) -> DataFrame:
+    """64-bit SimHash per doc: per-word xxhash64, each bit votes +/-1,
+    sign of the per-bit sum becomes the bit. Explode + one wide aggregate
+    (64 conditional sums — still a single map-side-combined shuffle)."""
+    w = (
+        t["documents"]
+        .select("doc_id", F.explode(words_col()).alias("word"))
+        .select("doc_id", F.xxhash64("word").alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = w.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR = OR
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-dependent; validated in tests/test_dedup.py
+    covers="pipeline: SimHash near-dup candidates (band join + hamming filter)",
+)
+def dedup_simhash(spark, t):
+    """Near-dup pairs by SimHash hamming distance <= 3, found via 16-bit
+    band join — by pigeonhole, <=3 differing bits across 4 bands leaves at
+    least one band identical, so the band join has perfect recall at this
+    radius."""
+    sig = simhash_signatures(t)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    candidates = None
+    for b in range(4):
+        a_side = bands.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("simhash").alias("a_sim"),
+            F.col(f"band{b}").alias("bk"),
+        )
+        b_side = bands.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("simhash").alias("b_sim"),
+            F.col(f"band{b}").alias("bk"),
+        )
+        cand = a_side.join(b_side, "bk").where(F.col("a_id") < F.col("b_id"))
+        candidates = cand if candidates is None else candidates.unionAll(cand)
+    hamming = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    return (
+        candidates.select("a_id", "b_id", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )

@@ -1,1 +1,226 @@
-"""Placeholder module — filled in by the similarity milestone."""
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Brute-force cosine top-k is the exact baseline (and the oracle-checked
+ground truth); the sign-LSH bucketed variant is the scale path — at 100 TB
+of vectors the cross join is impossible, while bucketing turns it into an
+equi-join that touches only same-bucket candidates.
+
+No Python UDFs: dot products and norms are ``zip_with``/``aggregate``
+fold-left expressions — JVM-side, and (verified) bitwise identical to
+DuckDB's double-precision list functions, so results are oracle-exact
+without any rounding slop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .registry import query
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Fold-left dot product of two array<float> columns, in double."""
+    return F.expr(
+        f"aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>),"
+        f" (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform(cast({a} as array<double>), x -> x * x),"
+            f" cast(0 as double), (acc, x) -> acc + x)"
+        )
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle="""
+        SELECT vec_id, label,
+               LIST_COSINE_SIMILARITY(embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS cos_sim
+        FROM embeddings
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+    """,
+    covers="pipeline: ANN baseline — exact brute-force cosine top-k",
+)
+def similarity_bruteforce_topk(spark, t):
+    """Exact top-10 neighbors of vector 0 by cosine. The broadcast cross
+    join ships one row; the scan side computes one fused expression per
+    vector and TakeOrderedAndProject keeps k — O(N) with no shuffle of
+    vector data."""
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine_expr("embedding", "q_emb").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "similarity_topk_per_query",
+    oracle="""
+        WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.q_emb) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.q_id
+        )
+        SELECT * FROM (
+            SELECT q_id, vec_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
+    covers="pipeline: batched ANN scoring — top-k per query via window rank",
+)
+def similarity_topk_per_query(spark, t):
+    """Top-5 neighbors for each of 5 query vectors in one plan: broadcast
+    the query batch, score, window-rank per query. The same plan serves a
+    1e9-vector corpus — the only shuffle is the per-query rank partition."""
+    e = t["embeddings"]
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine_expr("embedding", "q_emb").alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "similarity_threshold_pairs",
+    oracle="""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id AND a.vec_id < 60 AND b.vec_id < 60
+          AND LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2
+    """,
+    covers="pipeline: embedding near-dup pairs (cosine threshold join)",
+)
+def similarity_threshold_pairs(spark, t):
+    """All pairs above cosine 0.2 within a bounded id range — the
+    embedding-space near-duplicate primitive (bounded here; the LSH variant
+    below is how the unbounded version scales)."""
+    e = t["embeddings"].where(F.col("vec_id") < 60)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine_expr("a_emb", "b_emb").alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.2)
+    )
+
+
+@query(
+    "similarity_sign_lsh_buckets",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id, label,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8
+                 + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4
+                 + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2
+                 + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+            FROM embeddings
+        )
+        SELECT bucket, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
+        FROM b GROUP BY bucket
+    """,
+    covers="pipeline: LSH bucketing for ANN (sign-hyperplane partitioning)",
+)
+def similarity_sign_lsh_buckets(spark, t):
+    """Sign-LSH bucket assignment (4 axis-aligned hyperplanes -> 16 buckets)
+    plus occupancy stats. Candidate generation then joins on ``bucket``
+    instead of cross-joining the corpus; probing neighbors = flipping one
+    sign bit. Deterministic — no random projections, so the oracle can
+    reproduce it."""
+    e = t["embeddings"]
+    bit = lambda i, w: (
+        F.when(F.element_at("embedding", i) >= 0, 1).otherwise(0) * w
+    )
+    bucket = bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)
+    return (
+        e.select("vec_id", "label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+@query(
+    "similarity_bucketed_ann",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8
+                 + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4
+                 + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2
+                 + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS q_id, c.vec_id AS cand_id,
+                   LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]) AS cos_sim
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+            WHERE a.vec_id < 20
+        )
+        SELECT * FROM (
+            SELECT q_id, cand_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """,
+    covers="pipeline: ANN via LSH bucket join (approximate top-k, scale path)",
+)
+def similarity_bucketed_ann(spark, t):
+    """Approximate top-3 neighbors restricted to same-bucket candidates —
+    the IVF/LSH-style plan that replaces the cross join at scale (recall
+    traded for a candidate set ~1/16 of the corpus per query)."""
+    from pyspark.sql import Window
+
+    e = t["embeddings"]
+    bit = lambda i, w: (
+        F.when(F.element_at("embedding", i) >= 0, 1).otherwise(0) * w
+    )
+    b = e.select(
+        "vec_id", "embedding", (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).alias("bucket")
+    )
+    a = b.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "cand_id")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", cosine_expr("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )

@@ -1,1 +1,214 @@
-"""Placeholder module — filled in by the text analysis milestone."""
+"""Text-analysis operators over the ``documents`` table — the language-ID /
+quality-scoring / token-counting / fingerprinting stages of an LLM
+training-data pipeline (north-star expansion; the reference has no text
+surface beyond LIKE filters).
+
+All stages are pure Catalyst expressions over a single scan — at 100 TB
+each is embarrassingly parallel with zero shuffle (except the word-frequency
+rollup, whose shuffle carries only (word, partial-count) pairs thanks to
+map-side combine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    SQL_NORMALIZED_TEXT,
+    normalized_text,
+    occurrences,
+    shingles_expr,
+    sql_occurrences,
+    token_count,
+    words_col,
+)
+from .registry import query
+
+
+@query(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               n_chars
+        FROM documents
+    """,
+    covers="pipeline: token counting (whitespace tokenizer)",
+)
+def text_token_count(spark, t):
+    """Whitespace token counts per document."""
+    return t["documents"].select("doc_id", token_count().alias("n_tokens"), "n_chars")
+
+
+@query(
+    "text_word_frequency",
+    oracle="""
+        SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        GROUP BY w
+        ORDER BY n DESC, word
+        LIMIT 20
+    """,
+    covers="pipeline: corpus vocabulary rollup (explode + count, X-func expansion)",
+)
+def text_word_frequency(spark, t):
+    """Top-20 corpus vocabulary. explode -> partial-agg -> tiny shuffle."""
+    return (
+        t["documents"]
+        .select(F.explode(words_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+def _lang_scores(text_col):
+    return {
+        lang: sum(occurrences(text_col, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def _sql_lang_scores(text_expr):
+    return {
+        lang: " + ".join(sql_occurrences(text_expr, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+_S = _sql_lang_scores("(' ' || text || ' ')")
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_S['en']} AS s_en,
+                   {_S['es']} AS s_es,
+                   {_S['fr']} AS s_fr,
+                   {_S['de']} AS s_de
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
+                    ELSE 'de' END AS lang_pred,
+               s_en, s_es, s_fr, s_de
+        FROM scored
+    """,
+    covers="pipeline: heuristic language ID (stopword-marker voting)",
+)
+def text_lang_id(spark, t):
+    """N-gram/stopword-marker language ID: count tiny per-language marker
+    sets, argmax with a deterministic tie order. A real pipeline swaps the
+    marker table for a bigger one — the plan shape (scan-only, no shuffle)
+    is the point."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    s = _lang_scores(padded)
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        s["en"].alias("s_en"),
+        s["es"].alias("s_es"),
+        s["fr"].alias("s_fr"),
+        s["de"].alias("s_de"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+                   LENGTH(text) AS n_chars_m,
+                   LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+                   LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digits
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               n_nonspace / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS avg_word_len,
+               n_digits / CAST(GREATEST(n_chars_m, 1) AS DOUBLE) AS digit_ratio,
+               0.5 * LEAST(n_tokens / 50.0, 1.0)
+                 + 0.5 * (1.0 - n_digits / CAST(GREATEST(n_chars_m, 1) AS DOUBLE))
+                 AS quality_score
+        FROM m
+    """,
+    covers="pipeline: document quality scoring (length/digit-ratio heuristics)",
+)
+def text_quality_score(spark, t):
+    """Cheap quality heuristics: length saturation + digit-density penalty.
+    Single projection; identical double arithmetic on both engines."""
+    d = t["documents"]
+    n_tokens = token_count()
+    n_chars_m = F.length("text").cast("long")
+    n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    n_digits = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("long")
+    digit_ratio = n_digits / F.greatest(n_chars_m, F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_nonspace / F.greatest(n_tokens, F.lit(1)).cast("double")).alias("avg_word_len"),
+        digit_ratio.alias("digit_ratio"),
+        (
+            0.5 * F.least(n_tokens / 50.0, F.lit(1.0))
+            + 0.5 * (1.0 - digit_ratio)
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               MD5({SQL_NORMALIZED_TEXT.format(t='text')}) AS fingerprint
+        FROM documents
+    """,
+    covers="pipeline: document fingerprinting (normalize + digest; X8 md5 generalized)",
+)
+def text_fingerprint(spark, t):
+    """Canonical-form content fingerprint: lowercase, strip punctuation,
+    collapse whitespace, md5. The join key for cheap exact-after-normalize
+    dedup across a 100 TB corpus (fingerprint first, compare bytes only on
+    hash collisions)."""
+    return t["documents"].select(
+        "doc_id", F.md5(normalized_text()).alias("fingerprint")
+    )
+
+
+@query(
+    "text_shingle_stats",
+    oracle="""
+        WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        ii AS (SELECT doc_id, ws,
+                      UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+               FROM w),
+        sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS sh FROM ii)
+        SELECT doc_id, COUNT(*) AS n_distinct_shingles
+        FROM sh GROUP BY doc_id
+    """,
+    covers="pipeline: shingle extraction (3-gram sets, the MinHash input)",
+)
+def text_shingle_stats(spark, t):
+    """Distinct 3-word shingles per document — the set whose Jaccard
+    similarity defines near-duplication."""
+    return (
+        t["documents"]
+        .select("doc_id", words_col().alias("ws"))
+        .select("doc_id", F.explode(shingles_expr("ws", 3)).alias("sh"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_distinct_shingles"))
+    )

@@ -1,0 +1,114 @@
+"""Structured Streaming variants of the event-time operators.
+
+The batch plans in ``operators/events.py`` are the semantic ground truth;
+these build the *same expressions* over ``readStream`` — Spark's
+batch/stream unification means the logical plan is shared and only the
+source/sink differ. Watermarks bound state: an aggregation window (or
+session) is emitted and evicted once the watermark passes it, which is what
+makes these runnable forever on an unbounded 100 TB/day event feed.
+
+Testing model (see tests/test_streaming.py): drive the stream from the
+static events parquet with ``availableNow`` + a memory sink, then compare
+against the batch operator — the Spark-sanctioned way to prove a streaming
+pipeline's semantics without a live source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import register_views
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table (schema from the batch catalog;
+    streaming sources require an explicit schema). The TIMESTAMP(NANOS)
+    conversion from the catalog applies identically.
+
+    The file-stream source only accepts directories; the test corpus is a
+    single parquet file, so stage a symlink directory for it (a real
+    deployment points this at the landing directory / Kafka instead).
+    """
+    import tempfile
+
+    register_views(spark, sf_dir)  # pins session confs (UTC, nanosAsLong)
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    # Watermarks require TIMESTAMP (not NTZ); under the pinned UTC session
+    # the wall-clock values are identical to the batch catalog's NTZ ones.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/events.py::events_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sliding_value_sums(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of events_sliding_window (1h windows, 30m slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions via the native ``session_window`` operator —
+    the streaming-stateful form of events_sessionize (watermark evicts
+    closed sessions from the state store)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: dropDuplicates bounded by a
+    watermark (state for ids older than the watermark is evicted)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (Trigger.AvailableNow) into a memory sink; return the materialized
+    result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if _is_agg(stream_df) else "append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def _is_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().logical().toString()

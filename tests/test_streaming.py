@@ -1,0 +1,63 @@
+"""Streaming/batch equivalence (SURVEY.md 7.2: test via Trigger.AvailableNow
+batch-equivalence): the streaming plans must produce exactly the batch
+operators' results when drained over the static events table."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.registry import (
+    queries,
+)
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.streaming import (
+    windows as sw,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return sw.events_stream(spark, SF_SMOKE)
+
+
+def _as_set(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_stream_is_streaming(events):
+    assert events.isStreaming
+
+
+def test_tumbling_counts_match_batch(spark, events):
+    streamed = sw.run_available_now(sw.tumbling_counts(events), "t_tumbling")
+    batch = queries()["events_tumbling_window"](spark, SF_SMOKE)
+    cols = ["window_start", "event_type", "n"]
+    assert _as_set(streamed, cols) == _as_set(batch, cols)
+
+
+def test_sliding_counts_match_batch(spark, events):
+    streamed = sw.run_available_now(sw.sliding_value_sums(events), "t_sliding")
+    batch = queries()["events_sliding_window"](spark, SF_SMOKE)
+    cols = ["window_start", "n"]
+    assert _as_set(streamed, cols) == _as_set(batch, cols)
+
+
+def test_session_window_matches_batch_sessionize(spark, events):
+    """session_window(gap=30m) must carve the same sessions as the batch
+    lag/cumsum sessionizer: same number of sessions per user and same
+    per-session event counts + start timestamps."""
+    streamed = sw.run_available_now(sw.session_counts(events), "t_sessions")
+    batch = queries()["events_sessionize"](spark, SF_SMOKE)
+    got = _as_set(streamed, ["user_id", "session_start", "n_events"])
+    want = _as_set(batch, ["user_id", "session_start", "n_events"])
+    assert got == want
+
+
+def test_dedup_stream_passthrough(spark, events):
+    """event_id is unique in the corpus, so watermarked dropDuplicates must
+    be a passthrough (and must run as a streaming stateful op)."""
+    streamed = sw.run_available_now(sw.dedup_stream(events), "t_dedup")
+    n_stream = streamed.count()
+    n_batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert n_stream == n_batch
