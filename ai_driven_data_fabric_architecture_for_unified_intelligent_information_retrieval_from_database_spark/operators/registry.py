@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
     from . import relational  # noqa: F401
     from . import tpch  # noqa: F401
     from . import events  # noqa: F401
+    from . import temporal  # noqa: F401
     from . import text_analysis  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401

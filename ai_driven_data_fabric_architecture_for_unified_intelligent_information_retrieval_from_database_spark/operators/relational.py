@@ -749,3 +749,214 @@ def date_functions(spark, t):
         F.add_months(d, 12).alias("plus_year"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (exact, engine-stable) and approximate variants
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_variance_stddev",
+    oracle="""
+        WITH s AS (
+            SELECT c_mktsegment,
+                   COUNT(c_acctbal) AS n,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS sxx
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, n,
+               (sxx - sx * sx / n) / (n - 1) AS var_samp,
+               SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_samp
+        FROM s
+    """,
+    covers="2.4 expansion (variance/stddev from exact moment sums - "
+           "built-in stddev_samp partial-merge order makes cross-engine bits differ)",
+)
+def agg_variance_stddev(spark, t):
+    """Sample variance/stddev per group, computed from exact decimal moment
+    sums so the result is order-independent (the built-in one-pass
+    estimators give different last bits under different partial-merge
+    orders - same reason stable_sum exists)."""
+    x = F.col("c_acctbal")
+    sx = F.sum(x.cast("decimal(18,6)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(24,6)")).cast("double")
+    n = F.count(x)
+    base = t["customer"].groupBy("c_mktsegment").agg(
+        n.alias("n"), sx.alias("sx"), sxx.alias("sxx")
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return base.select(
+        "c_mktsegment", "n", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               QUANTILE_CONT(l_quantity, 0.25) AS p25,
+               QUANTILE_CONT(l_quantity, 0.5) AS median,
+               QUANTILE_CONT(l_quantity, 0.75) AS p75,
+               QUANTILE_CONT(l_extendedprice, 0.9) AS price_p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    covers="2.4 expansion (exact interpolated percentiles; verified identical "
+           "interpolation vs DuckDB quantile_cont)",
+)
+def agg_percentiles(spark, t):
+    """Exact percentiles per group. Note: `percentile` sorts per group -
+    fine for bounded groups; at 100 TB switch to percentile_approx (see
+    agg_approx_sketches) whose t-digest state merges associatively."""
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
+        )
+    )
+
+
+@query(
+    "agg_approx_sketches",
+    oracle=None,  # sketch algorithms (HLL++/KLL) are engine-specific by
+    # nature; tests assert bounded relative error vs exact counts instead
+    covers="2.4 expansion (approx_count_distinct / percentile_approx - the 100 TB path)",
+)
+def agg_approx_sketches(spark, t):
+    """Sketch-based aggregates - the only sane distinct-count/quantile at
+    100 TB (fixed-size mergeable state, no sort, no exact shuffle)."""
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String / conditional function surface (expansion of 2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_functions",
+    oracle="""
+        SELECT p_partkey,
+               REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word,
+               LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+               TRIM('  ' || p_brand || '  ') AS trimmed,
+               REVERSE(p_brand) AS rev_brand,
+               REPLACE(p_type, 'PROMO', 'PROMOTIONAL') AS retyped,
+               LEFT(p_name, 5) AS name5,
+               CAST(STRPOS(p_name, ' ') AS INT) AS first_space,
+               REPEAT(p_brand, 2) AS brand2
+        FROM part
+    """,
+    covers="2.8 expansion (regexp_extract, pad/trim/reverse/replace/left/strpos/repeat)",
+)
+def string_functions(spark, t):
+    """Wider string-function surface in one projection."""
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("PROMOTIONAL")).alias("retyped"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.instr("p_name", " ").alias("first_space"),
+        F.repeat("p_brand", 2).alias("brand2"),
+    )
+
+
+@query(
+    "conditional_null_functions",
+    oracle="""
+        SELECT o_orderkey,
+               NULLIF(o_orderstatus, 'O') AS status_or_null,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+               CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_nn,
+               IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent
+        FROM orders WHERE o_orderkey <= 1000
+    """,
+    covers="2.8 expansion (NULLIF/COALESCE/IF conditional surface; F4 generalized)",
+)
+def conditional_null_functions(spark, t):
+    o = t["orders"].where(F.col("o_orderkey") <= 1000)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
+        F.when(F.col("o_totalprice").isNull(), -1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_nn"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+        SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               COUNT(DISTINCT s.s_suppkey) AS n_suppliers
+        FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 10) c
+        FULL OUTER JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+          ON c.c_nationkey = s.s_nationkey
+        GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)
+    """,
+    covers="2.3 expansion (full outer join)",
+)
+def join_full_outer(spark, t):
+    c = t["customer"].where(F.col("c_nationkey") < 10).select("c_custkey", "c_nationkey")
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .groupBy(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "array_functions_embeddings",
+    oracle="""
+        SELECT vec_id,
+               CAST(LEN(embedding) AS INT) AS dim,
+               LIST_MIN(embedding) AS min_v,
+               LIST_MAX(embedding) AS max_v,
+               embedding[1] AS first_v,
+               LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[],
+                                       x -> CASE WHEN x >= 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END))
+                   AS n_nonneg
+        FROM embeddings WHERE vec_id < 100
+    """,
+    covers="2.8 expansion (array functions over vector columns: size/min/max/element/fold)",
+)
+def array_functions_embeddings(spark, t):
+    """Array-function surface over the embedding vectors."""
+    e = t["embeddings"].where(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min("embedding").alias("min_v"),
+        F.array_max("embedding").alias("max_v"),
+        F.element_at("embedding", 1).alias("first_v"),
+        F.expr(
+            "aggregate(transform(cast(embedding as array<double>),"
+            " x -> case when x >= 0 then cast(1.0 as double) else cast(0.0 as double) end),"
+            " cast(0 as double), (a, x) -> a + x)"
+        ).alias("n_nonneg"),
+    )

@@ -1,0 +1,112 @@
+"""Physical-plan quality gates — the 100 TB posture, asserted.
+
+These tests read `.explain("formatted")` output and fail if a scale
+regression sneaks in: a filter that stops reaching the parquet scan, a
+dimension join that stops broadcasting, a projection that drags unused
+columns, or a Python UDF appearing in a JVM-only path. At 600 k rows none
+of these would be *visibly* slow — which is exactly why they are asserted
+on the plan rather than timed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_ORACLE
+
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.registry import (
+    queries,
+)
+
+
+def plan_of(spark, name: str) -> str:
+    df = queries()[name](spark, SF_ORACLE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_between")
+    assert "PushedFilters:" in plan
+    # the BETWEEN bounds must appear as pushed >= / <= predicates
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(o_totalprice,40000" in pushed, pushed
+    assert "LessThanOrEqual(o_totalprice,80000" in pushed, pushed
+
+
+def test_date_filter_pushdown(spark):
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], plan[:2000]
+
+
+def test_column_pruning(spark):
+    """topk_global touches 2 of orders' 6 columns; the scan must read only
+    those."""
+    plan = plan_of(spark, "topk_global")
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines, plan[:2000]
+    rs = schema_lines[0]
+    assert "o_orderkey" in rs and "o_totalprice" in rs
+    assert "o_orderdate" not in rs and "o_orderpriority" not in rs, rs
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """nation and region must join via BroadcastHashJoin — a shuffle of the
+    fact side for a 25-row dimension is the canonical 100 TB mistake."""
+    plan = plan_of(spark, "join_star_flagship")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "join_semi")
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """Group-count must have a map-side partial aggregate before the
+    shuffle (two HashAggregate nodes around an Exchange)."""
+    plan = plan_of(spark, "filter_not_null_group_count")
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    assert "Exchange" in plan
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    """Every relational/tpch/text/dedup/similarity plan must stay JVM-side;
+    the only sanctioned Python stage is the multimodal decode (mapInPandas,
+    Arrow-batched)."""
+    for name in [
+        "tpch_q1_pricing_summary",
+        "join_star_flagship",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "similarity_bruteforce_topk",
+        "text_quality_score",
+        "text_lang_id",
+    ]:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} has a pandas UDF"
+        assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
+
+
+def test_multimodal_decode_is_arrow_batched(spark):
+    plan = plan_of(spark, "multimodal_decode_features")
+    assert "MapInPandas" in plan, plan[:1500]
+
+
+def test_whole_stage_codegen_covers_q1(spark):
+    """AQE's formatted plan hides codegen spans pre-execution; the codegen
+    explain mode lists the generated subtrees — Q1's scan+partial-agg must
+    be one of them."""
+    df = queries()["tpch_q1_pricing_summary"](spark, SF_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in plan, plan[:1500]
