@@ -98,6 +98,7 @@ class DataFabricEngine:
         default_table: str = "employees",
         llm_provider=None,
         log_sink_path: str | None = None,
+        use_star_rules: bool = False,
     ):
         self.spark = spark
         self.tables = set(tables) if tables else {default_table}
@@ -107,6 +108,9 @@ class DataFabricEngine:
         self.cache = TTLCache()
         self.query_log: list[QueryLogEntry] = []
         self.log_sink_path = log_sink_path
+        #: north-star expansion: try the multi-table star-schema rule set
+        #: before the single-table cascade (plans/star_planner.py).
+        self.use_star_rules = use_star_rules
 
     # -- schema context (replaces per-request introspection, SURVEY 7.2) ----
     def _schema_text(self, table: str) -> str:
@@ -137,7 +141,17 @@ class DataFabricEngine:
         start = time.time()
         sql_query: str | None = None
         try:
-            planned = self.planner.plan(user_query)
+            planned = None
+            if self.use_star_rules:
+                from .plans.star_planner import plan_star
+
+                star = plan_star(user_query)
+                if star is not None:
+                    missing = set(star.tables) - self.tables
+                    if not missing:
+                        planned = star
+            if planned is None:
+                planned = self.planner.plan(user_query)
             sql_query = planned.sql
             validated = validate_select(self.spark, sql_query, self.tables)
             exec_result = self._execute(validated.sql)

@@ -1,0 +1,49 @@
+"""NL-path queries registered in the driver gate: each entry runs a natural-
+language question through the star planner and executes the emitted SQL via
+``spark.sql``; the oracle is the *same emitted string* run by DuckDB — so
+the NL->SQL->execution path itself is differentially verified end to end,
+not just the hand-written operators.
+
+(The single-table planner's branches are covered by golden tests on the
+synthesized employees fixture, tests/test_planner.py, since the oracle only
+pre-registers the star tables.)
+"""
+
+from __future__ import annotations
+
+from ..plans.star_planner import plan_star
+from .registry import query
+
+_NL_CASES = {
+    "nl_revenue_by_region": ("What is the revenue by region?", "revenue_by_region"),
+    "nl_revenue_by_segment": ("Show revenue per market segment", "revenue_by_segment"),
+    "nl_top_customers": ("Who are the top 7 customers by spending?", "top_customers"),
+    "nl_orders_by_year": ("How did order counts develop per year?", "orders_by_year"),
+    "nl_avg_order_value_by_segment": (
+        "Average order value by market segment",
+        "avg_order_value_by_segment",
+    ),
+    "nl_count_suppliers": ("How many suppliers do we have?", "count_supplier"),
+}
+
+
+def _register(name: str, question: str, expected_branch: str) -> None:
+    planned = plan_star(question)
+    assert planned is not None and planned.branch == expected_branch, (
+        f"{name}: planner produced {planned and planned.branch}"
+    )
+    sql = planned.sql
+
+    @query(
+        name,
+        oracle=sql,  # the emitted SQL *is* the oracle — one string, two engines
+        covers=f"N1-N3 multi-table expansion: {expected_branch} ({question!r})",
+    )
+    def _run(spark, t, _sql=sql):
+        return spark.sql(_sql)
+
+    _run.__name__ = f"query_{name}"
+
+
+for _name, (_question, _branch) in _NL_CASES.items():
+    _register(_name, _question, _branch)

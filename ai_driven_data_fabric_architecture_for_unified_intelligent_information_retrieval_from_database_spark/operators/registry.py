@@ -73,6 +73,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     """Import every operator module for its registration side effects."""
+    from . import nl  # noqa: F401
     from . import relational  # noqa: F401
     from . import tpch  # noqa: F401
     from . import events  # noqa: F401

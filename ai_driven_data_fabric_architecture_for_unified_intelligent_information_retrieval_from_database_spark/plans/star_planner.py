@@ -1,0 +1,176 @@
+"""Multi-table NL->SQL planning over the star schema — the north-star
+extension of the reference's single-table rule cascade
+(``core/ai_query_generator.py:178-281``) to joins, star aggregations and
+top-k, in the same deterministic keyword-rule style (no LLM required).
+
+Emitted SQL is deliberately engine-portable (ANSI constructs both Spark and
+DuckDB parse identically, including the exact decimal revenue reduction) —
+the test suite and the driver's oracle gate run the *same emitted string*
+on both engines and hash-compare, so the NL path itself is differentially
+verified, not just the hand-written operator library.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+#: The one revenue expression, shared by every rule that aggregates money —
+#: order-independent (see functions/numerics.py).
+REVENUE = (
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+)
+
+
+@dataclass
+class StarPlan:
+    sql: str
+    branch: str
+    tables: tuple[str, ...]
+
+
+def _first_int(text: str, default: int) -> int:
+    m = re.findall(r"\d+", text)
+    return int(m[0]) if m else default
+
+
+def _has_word(q: str, word: str) -> bool:
+    """Whole-word (plural-tolerant) match — plain substring matching is wrong
+    here ("part" in "department", "order" in "border")."""
+    return re.search(rf"\b{re.escape(word)}s?\b", q) is not None
+
+
+def plan_star(question: str) -> StarPlan | None:
+    """Ordered rule cascade for star-schema questions. Returns None when no
+    rule fires (callers fall back to the single-table planner / default)."""
+    q = question.lower()
+    has = lambda *words: any(w in q for w in words)
+
+    # employee questions belong to the reference-parity cascade, never here
+    if "employee" in q:
+        return None
+
+    # revenue by region / nation / segment --------------------------------
+    if has("revenue", "sales volume", "turnover"):
+        if has("region"):
+            return StarPlan(
+                sql=(
+                    "SELECT r.r_name AS region, "
+                    f"{REVENUE} AS revenue "
+                    "FROM lineitem l "
+                    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+                    "JOIN customer c ON o.o_custkey = c.c_custkey "
+                    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+                    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+                    "GROUP BY r.r_name"
+                ),
+                branch="revenue_by_region",
+                tables=("lineitem", "orders", "customer", "nation", "region"),
+            )
+        if has("nation", "country"):
+            return StarPlan(
+                sql=(
+                    "SELECT n.n_name AS nation, "
+                    f"{REVENUE} AS revenue "
+                    "FROM lineitem l "
+                    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+                    "JOIN customer c ON o.o_custkey = c.c_custkey "
+                    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+                    "GROUP BY n.n_name"
+                ),
+                branch="revenue_by_nation",
+                tables=("lineitem", "orders", "customer", "nation"),
+            )
+        if has("segment", "market"):
+            return StarPlan(
+                sql=(
+                    "SELECT c.c_mktsegment AS segment, "
+                    f"{REVENUE} AS revenue "
+                    "FROM lineitem l "
+                    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+                    "JOIN customer c ON o.o_custkey = c.c_custkey "
+                    "GROUP BY c.c_mktsegment"
+                ),
+                branch="revenue_by_segment",
+                tables=("lineitem", "orders", "customer"),
+            )
+
+    # top-N customers by spending -----------------------------------------
+    if has("top", "best", "biggest") and has("customer"):
+        k = _first_int(q, 10)
+        return StarPlan(
+            sql=(
+                "SELECT c.c_custkey, c.c_name, "
+                "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent "
+                "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+                "GROUP BY c.c_custkey, c.c_name "
+                f"ORDER BY total_spent DESC, c.c_custkey LIMIT {k}"
+            ),
+            branch="top_customers",
+            tables=("orders", "customer"),
+        )
+
+    # orders over time ----------------------------------------------------
+    if has("order") and has("per year", "by year", "each year", "yearly"):
+        return StarPlan(
+            sql=(
+                "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, "
+                "COUNT(*) AS n_orders "
+                "FROM orders GROUP BY 1"
+            ),
+            branch="orders_by_year",
+            tables=("orders",),
+        )
+
+    # average order value -------------------------------------------------
+    if has("average", "avg") and has("order"):
+        if has("segment", "market"):
+            return StarPlan(
+                sql=(
+                    "SELECT c.c_mktsegment AS segment, "
+                    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+                    " / COUNT(o.o_totalprice) AS avg_order_value "
+                    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+                    "GROUP BY c.c_mktsegment"
+                ),
+                branch="avg_order_value_by_segment",
+                tables=("orders", "customer"),
+            )
+        return StarPlan(
+            sql=(
+                "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+                " / COUNT(o_totalprice) AS avg_order_value FROM orders"
+            ),
+            branch="avg_order_value",
+            tables=("orders",),
+        )
+
+    # counts --------------------------------------------------------------
+    if has("how many", "count", "number of"):
+        for table, word in [
+            ("orders", "order"),
+            ("customer", "customer"),
+            ("supplier", "supplier"),
+            ("part", "part"),
+            ("lineitem", "line item"),
+        ]:
+            if _has_word(q, word):
+                return StarPlan(
+                    sql=f"SELECT COUNT(*) AS count FROM {table}",
+                    branch=f"count_{table}",
+                    tables=(table,),
+                )
+
+    # customers without orders (anti-join shape) --------------------------
+    if has("customer") and has("without", "no orders", "never ordered"):
+        return StarPlan(
+            sql=(
+                "SELECT c_custkey, c_name FROM customer c "
+                "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+                "WHERE o.o_custkey = c.c_custkey)"
+            ),
+            branch="customers_without_orders",
+            tables=("customer", "orders"),
+        )
+
+    return None
