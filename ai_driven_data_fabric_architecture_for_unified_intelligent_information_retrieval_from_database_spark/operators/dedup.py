@@ -191,42 +191,50 @@ def dedup_minhash_lsh(spark, t):
     """
     sig = minhash_signatures(t)
     rows_per_band = N_PERM // N_BANDS
-    bands = sig.select(
-        "doc_id",
+    # One slim (doc_id, band_idx, band_key) relation via posexplode, then a
+    # SINGLE self-join on (band_idx, band_key) — not one join per band. The
+    # shuffle carries 3 small columns x N_BANDS rows per doc; signatures are
+    # joined back only onto surviving candidate pairs.
+    band_keys = F.array(
         *[
             F.xxhash64(
                 *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band{b}")
+            )
             for b in range(N_BANDS)
-        ],
-        *[F.col(f"h{p}") for p in range(N_PERM)],
+        ]
     )
-    candidates = None
-    for b in range(N_BANDS):
-        a_side = bands.select(
-            F.col("doc_id").alias("a_id"),
-            F.col(f"band{b}").alias("bk"),
-            *[F.col(f"h{p}").alias(f"ah{p}") for p in range(N_PERM)],
-        )
-        b_side = bands.select(
-            F.col("doc_id").alias("b_id"),
-            F.col(f"band{b}").alias("bk"),
-            *[F.col(f"h{p}").alias(f"bh{p}") for p in range(N_PERM)],
-        )
-        cand = a_side.join(b_side, "bk").where(F.col("a_id") < F.col("b_id"))
-        candidates = cand if candidates is None else candidates.unionAll(cand)
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    a_b = buckets.select(
+        F.col("doc_id").alias("a_id"), "band_idx", "band_key"
+    )
+    b_b = buckets.select(
+        F.col("doc_id").alias("b_id"), "band_idx", "band_key"
+    )
+    cand_pairs = (
+        a_b.join(b_b, ["band_idx", "band_key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"), *[F.col(f"h{p}").alias(f"ah{p}") for p in range(N_PERM)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"), *[F.col(f"h{p}").alias(f"bh{p}") for p in range(N_PERM)]
+    )
     agree = sum(
         F.when(F.col(f"ah{p}") == F.col(f"bh{p}"), 1).otherwise(0)
         for p in range(N_PERM)
     )
     return (
-        candidates.select("a_id", "b_id", agree.alias("n_agree"))
-        .groupBy("a_id", "b_id")
-        .agg(F.max("n_agree").alias("n_agree"))
+        cand_pairs.join(sa, "a_id")
+        .join(sb, "b_id")
         .select(
             "a_id",
             "b_id",
-            (F.col("n_agree") / float(N_PERM)).alias("est_jaccard"),
+            (agree / float(N_PERM)).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= 0.5)
     )
@@ -280,33 +288,33 @@ def dedup_simhash(spark, t):
     least one band identical, so the band join has perfect recall at this
     radius."""
     sig = simhash_signatures(t)
-    bands = sig.select(
-        "doc_id",
-        "simhash",
+    # Same single-join shape as MinHash LSH: slim posexploded bucket table,
+    # one equi-join on (band_idx, band_key), signatures joined back per side.
+    band_keys = F.array(
         *[
-            F.shiftright(F.col("simhash"), 16 * b)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias(f"band{b}")
+            F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
             for b in range(4)
-        ],
+        ]
     )
-    candidates = None
-    for b in range(4):
-        a_side = bands.select(
-            F.col("doc_id").alias("a_id"),
-            F.col("simhash").alias("a_sim"),
-            F.col(f"band{b}").alias("bk"),
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    cand_pairs = (
+        buckets.select(F.col("doc_id").alias("a_id"), "band_idx", "band_key")
+        .join(
+            buckets.select(F.col("doc_id").alias("b_id"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
         )
-        b_side = bands.select(
-            F.col("doc_id").alias("b_id"),
-            F.col("simhash").alias("b_sim"),
-            F.col(f"band{b}").alias("bk"),
-        )
-        cand = a_side.join(b_side, "bk").where(F.col("a_id") < F.col("b_id"))
-        candidates = cand if candidates is None else candidates.unionAll(cand)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
+    sb = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"))
     hamming = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
     return (
-        candidates.select("a_id", "b_id", hamming.alias("hamming"))
+        cand_pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", hamming.alias("hamming"))
         .where(F.col("hamming") <= HAMMING_MAX)
-        .distinct()
     )

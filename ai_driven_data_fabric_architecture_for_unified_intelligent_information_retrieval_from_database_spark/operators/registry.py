@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
     from . import nl  # noqa: F401
     from . import relational  # noqa: F401
     from . import tpch  # noqa: F401
+    from . import tpch_extra  # noqa: F401
     from . import events  # noqa: F401
     from . import temporal  # noqa: F401
     from . import text_analysis  # noqa: F401

@@ -1,0 +1,524 @@
+"""Extended TPC-H-shaped query set, adapted to the driver's simplified star
+schema (TESTDATA.md; no partsupp / commitdate / shipmode / phone columns —
+each adaptation keeps the *plan shape* the original query exists to
+exercise: EXISTS semi-joins, two-sided nation joins, market-share
+conditional aggregation, HAVING over a fact rollup, correlated per-group
+averages, disjunctive multi-range predicates, scalar-subquery anti-joins).
+
+Together with operators/tpch.py (Q1/Q3/Q5/Q6) this gives 15 TPC-H-class
+plans, covering every join strategy Spark has: broadcast-hash (dims),
+shuffle-hash/sort-merge (fact-fact), left-semi, left-anti, and the
+scalar-subquery broadcast.
+
+Scale posture: filters precede joins so pushdown reaches the parquet scan;
+dimension sides are broadcast; every aggregation is partial-aggregatable
+(no distinct-on-fact); every LIMIT is backed by a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numerics import sql_stable_sum, stable_sum
+from .registry import query
+
+
+def _year(col):
+    # DuckDB EXTRACT(YEAR ...) is BIGINT; match it so schemas hash-compare.
+    return F.year(col).cast("long")
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    covers="TPC-H Q4 shape: EXISTS -> left-semi join + grouped count",
+)
+def tpch_q4(spark, t):
+    """Priority distribution of slow-shipping orders (adapted: ship lag >90d
+    stands in for the missing commit/receipt dates). The EXISTS compiles to
+    a left-semi join — the fact side never duplicates rows, so the count is
+    per-order regardless of how many lineitems matched.
+    """
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = t["lineitem"]
+    late = l.join(o, l.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+               {sql_stable_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT)
+    """,
+    covers="TPC-H Q7 shape: bilateral trade volume, two dimension roles for one table",
+)
+def tpch_q7(spark, t):
+    """Shipping volume between two nations by direction and year. The nation
+    table joins twice under different roles (supplier side, customer side) —
+    both broadcast; the disjunctive nation-pair predicate lands after both.
+    """
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s, o, c = t["supplier"], t["orders"], t["customer"]
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", _year(F.col("l_shipdate")).alias("l_year"))
+        .agg(
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+        WITH all_nations AS (
+            SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
+                   n1.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            JOIN region r ON n2.n_regionkey = r.r_regionkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            WHERE r.r_name = 'AMERICA'
+              AND p.p_type = 'PROMO'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        FROM all_nations
+        GROUP BY o_year
+    """,
+    covers="TPC-H Q8 shape: market share via conditional share-of-total aggregation",
+)
+def tpch_q8(spark, t):
+    """Market share of one supplier nation within a region/part-type market.
+    Eight-way star join; the share is a ratio of two exact decimal sums so
+    both engines derive bit-identical doubles.
+    """
+    l, p, s, o, c = t["lineitem"], t["part"], t["supplier"], t["orders"], t["customer"]
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = t["region"].where(F.col("r_name") == "AMERICA")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = p.where(F.col("p_type") == "PROMO")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    base = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            _year(F.col("o_orderdate")).alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {sql_stable_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               c.c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    covers="TPC-H Q10 shape: lost-revenue ranking (join + group + top-k)",
+)
+def tpch_q10(spark, t):
+    """Top 20 customers by revenue of returned items in a half-year window."""
+    c, n = t["customer"], t["nation"]
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    covers="TPC-H Q13 shape: outer join with join-time predicate, two-level aggregation",
+)
+def tpch_q13(spark, t):
+    """Distribution of customers by non-urgent order count. The priority
+    filter is part of the LEFT JOIN condition (not a WHERE) — customers with
+    only urgent orders must still appear with count 0. Second aggregation is
+    tiny (distinct counts), so the plan cost is one fact shuffle.
+    """
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+        SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / {sql_stable_sum('l.l_extendedprice * (1 - l.l_discount)')} AS promo_revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    covers="TPC-H Q14 shape: share-of-total scalar (conditional / total aggregation)",
+)
+def tpch_q14(spark, t):
+    """Percentage of one month's revenue from PROMO parts."""
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = t["part"]
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_stable_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    covers="TPC-H Q15 shape: derived-relation reuse + scalar-subquery max filter",
+)
+def tpch_q15(spark, t):
+    """Supplier(s) with the maximum quarterly revenue. The revenue relation
+    is used twice (rank filter + join); exact decimal revenue makes the MAX
+    comparison engine-stable. At scale, prefer this two-pass max over a
+    global orderBy: the second pass is a broadcast of one scalar.
+    """
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    s = t["supplier"]
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+        WITH avg_qty AS (
+            SELECT l_partkey, {sql_stable_sum('l_quantity')} / COUNT(l_quantity) AS aq
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {sql_stable_sum('l.l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN avg_qty a ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#12'
+          AND l.l_quantity < 0.5 * a.aq
+    """,
+    covers="TPC-H Q17 shape: correlated per-group average (self-agg join)",
+)
+def tpch_q17(spark, t):
+    """Revenue lost to small-quantity orders of one brand. The correlated
+    AVG-per-part subquery becomes an aggregate-then-join: one extra shuffle
+    over (partkey, avg) instead of a per-row subquery execution.
+    """
+    l = t["lineitem"]
+    p = t["part"].where(F.col("p_brand") == "Brand#12")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / F.count("l_quantity")).alias("aq")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("ak"))
+        .where(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg((stable_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+               {sql_stable_sum('l.l_quantity')} AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN big ON big.l_orderkey = o.o_orderkey
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    covers="TPC-H Q18 shape: HAVING on fact rollup -> semi-filter on parent",
+)
+def tpch_q18(spark, t):
+    """Customers with orders totalling >250 units. The HAVING pre-aggregation
+    produces a small key set that semi-filters the join — at 100 TB this is
+    the difference between joining all orders and joining the 1% that matter.
+    """
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 250)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(big, o.o_orderkey == F.col("big_key"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(stable_sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+        SELECT {sql_stable_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               COUNT(*) AS n
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    covers="TPC-H Q19 shape: disjunctive multi-range join predicate",
+)
+def tpch_q19(spark, t):
+    """Revenue under three brand/size/quantity bands. The disjunction spans
+    both join sides, so it evaluates post-join; the per-side prefilters
+    (brand IN, quantity range-union) are still pushed to the scans.
+    """
+    l, p = t["lineitem"], t["part"]
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(band)
+        .agg(
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+        SELECT n.n_name,
+               COUNT(*) AS numcust,
+               {sql_stable_sum('c.c_acctbal')} AS totacctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (
+                SELECT {sql_stable_sum('c2.c_acctbal')} / COUNT(c2.c_acctbal)
+                FROM customer c2 WHERE c2.c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+              )
+        GROUP BY n.n_name
+    """,
+    covers="TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join",
+)
+def tpch_q22(spark, t):
+    """Wealthy customers with no urgent orders, by nation (adapted: nation
+    replaces the missing phone country code, and the anti-join is against
+    urgent orders because this corpus gives every customer at least one
+    order). Scalar average broadcasts as a 1-row frame; NOT EXISTS is a
+    left-anti join on the filtered orders key set.
+    """
+    c, n = t["customer"], t["nation"]
+    o = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count("c_acctbal")).alias("ab")
+        )
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            stable_sum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -69,14 +69,15 @@ def main() -> None:
     # absorb session startup.
     qs["agg_count_star"](spark, sf_dir).collect()
 
-    # Two passes per query, report the min: pass 1 pays whole-stage-codegen
-    # compilation (cached thereafter), so pass 2 measures steady-state
-    # execution — the number that actually extrapolates to a long-running
-    # cluster where plans compile once and run for hours.
+    # Three passes per query, report the min: pass 1 pays whole-stage-codegen
+    # compilation and OS page-cache warmup (cached thereafter), so later
+    # passes measure steady-state execution — the number that actually
+    # extrapolates to a long-running cluster where plans compile once and
+    # run for hours. Min-of-3 also damps scheduler jitter on a shared host.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             df = qs[name](spark, sf_dir)
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
