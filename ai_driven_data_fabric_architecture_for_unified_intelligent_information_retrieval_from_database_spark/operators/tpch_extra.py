@@ -55,11 +55,13 @@ def tpch_q4(spark, t):
         & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
     )
     l = t["lineitem"]
-    late = l.join(o, l.l_orderkey == o.o_orderkey).where(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    )
     return (
-        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "semi")
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "semi",
+        )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )

@@ -110,3 +110,39 @@ def test_whole_stage_codegen_covers_q1(spark):
         df._jdf.queryExecution(), "codegen"
     )
     assert "WholeStageCodegen" in plan, plan[:1500]
+
+
+def test_q4_exists_compiles_to_single_semi_join(spark):
+    """The EXISTS is ONE semi join with the mixed-side ship-lag condition —
+    no materialized distinct key set, no row duplication before the count."""
+    plan = plan_of(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_q22_not_exists_is_anti_join_with_broadcast_scalar(spark):
+    plan = plan_of(spark, "tpch_q22_global_sales_opportunity")
+    assert "LeftAnti" in plan, plan[:2000]
+    # the global-average threshold arrives by broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q7_broadcasts_both_nation_roles(spark):
+    """nation joins twice (supplier role, customer role); both must
+    broadcast — shuffling a fact side against a 25-row table is the
+    canonical scale mistake."""
+    plan = plan_of(spark, "tpch_q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:3000]
+
+
+def test_q19_disjunction_partially_pushes_down(spark):
+    """Catalyst must extract per-side conjuncts from the 3-band disjunction
+    (quantity range union to lineitem, brand/size union to part)."""
+    plan = plan_of(spark, "tpch_q19_discounted_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed), pushed
+    assert any("p_brand" in l for l in pushed), pushed
+
+
+def test_q18_having_prefilter_take_ordered(spark):
+    plan = plan_of(spark, "tpch_q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
