@@ -95,12 +95,18 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (Trigger.AvailableNow) into a memory sink; return the materialized
-    result as a batch DataFrame."""
+    result as a batch DataFrame. Aggregations default to complete mode,
+    row streams to append; stateful applyInPandasWithState plans declare
+    their own mode — pass it explicitly."""
     q = (
-        stream_df.writeStream.outputMode("complete" if _is_agg(stream_df) else "append")
+        stream_df.writeStream.outputMode(
+            output_mode or ("complete" if _is_agg(stream_df) else "append")
+        )
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -61,3 +61,44 @@ def test_dedup_stream_passthrough(spark, events):
     n_stream = streamed.count()
     n_batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     assert n_stream == n_batch
+
+
+def test_stateful_user_profile_matches_batch(spark, events):
+    """applyInPandasWithState profile tracker: after draining the static
+    corpus, each user's final emitted profile must equal the batch
+    groupBy-aggregate (float sums compared with tolerance — pandas and SQL
+    associate the additions differently)."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.streaming import (
+        stateful as st,
+    )
+    from pyspark.sql import functions as F
+
+    streamed = sw.run_available_now(
+        st.user_profile_stream(events), "t_profiles", output_mode="update"
+    )
+    # update-mode memory sink may hold one row per key per batch; keep each
+    # user's final row (max n_events)
+    import pandas as pd
+
+    got = (
+        streamed.toPandas()
+        .sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    batch = (
+        queries()["events_json_extract"](spark, SF_SMOKE)
+        .sparkSession.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+        .toPandas()
+    )
+    merged = got.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == len(got)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.n_purchases_s == merged.n_purchases_b).all()
+    assert (merged.total_value_s - merged.total_value_b).abs().max() < 1e-6
