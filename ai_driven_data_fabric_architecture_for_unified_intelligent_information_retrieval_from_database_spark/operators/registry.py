@@ -83,3 +83,4 @@ def _ensure_loaded() -> None:
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import scale  # noqa: F401

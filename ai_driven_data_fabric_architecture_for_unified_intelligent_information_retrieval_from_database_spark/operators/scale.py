@@ -1,0 +1,48 @@
+"""Scale-technique operators: the explicit skew-mitigation forms, registered
+as driver-checkable queries. Semantically each is identical to its naive
+counterpart (that's what the oracle asserts); the difference is the shuffle
+shape under a hot key, which the naive plan serializes onto one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.skew import salted_group_count, salted_join_counts
+from .registry import query
+
+
+@query(
+    "skew_salted_group_count",
+    oracle="""
+        SELECT event_type, COUNT(*) AS count
+        FROM events GROUP BY event_type
+    """,
+    covers="scale: two-phase salted aggregation (hot-group mitigation)",
+)
+def skew_salted_group_count(spark, t):
+    """COUNT by event_type via two-phase salting. events has 5 types over
+    10k+ rows — exactly the low-cardinality/hot-group shape where a plain
+    groupBy funnels everything through 5 reducers. Results must equal the
+    naive aggregate bit-for-bit."""
+    return salted_group_count(t["events"], "event_type", n_salts=16)
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    covers="scale: salted replicated join (skewed fact key, non-broadcastable dim)",
+)
+def skew_salted_join(spark, t):
+    """customer⋈nation via dim replication + fact salting, then counts per
+    nation. (nation is broadcastable here — the point is the plan shape for
+    when the dim is not; the oracle proves the rewrite changes nothing
+    semantically.)"""
+    joined = salted_join_counts(
+        t["customer"], t["nation"], "c_nationkey", "n_nationkey", n_salts=8
+    )
+    return joined.groupBy("n_name").agg(F.count("*").alias("n_customers"))
