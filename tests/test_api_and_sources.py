@@ -164,3 +164,21 @@ def test_salted_join_matches_plain(spark):
     plain = o.join(c, o.o_custkey == c.c_custkey).count()
     salted = salted_join_counts(o, c, "o_custkey", "c_custkey").count()
     assert plain == salted
+
+
+def test_view_names_track_latest_registration(spark):
+    """Interleaving two scale factors in one session must leave the temp
+    views pointing at whichever sf_dir was requested LAST — SQL-text paths
+    (the NL queries) resolve table names through the views."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_views,
+    )
+    from conftest import SF_ORACLE, SF_SMOKE
+
+    n_smoke = register_views(spark, SF_SMOKE)["lineitem"].count()
+    n_oracle = register_views(spark, SF_ORACLE)["lineitem"].count()
+    assert n_smoke != n_oracle
+    assert spark.table("lineitem").count() == n_oracle
+    # cache-hit path must re-register the views, not just return the dict
+    register_views(spark, SF_SMOKE)
+    assert spark.table("lineitem").count() == n_smoke

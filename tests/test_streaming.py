@@ -86,9 +86,12 @@ def test_stateful_user_profile_matches_batch(spark, events):
         .groupby("user_id", as_index=False)
         .last()
     )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_views,
+    )
+
     batch = (
-        queries()["events_json_extract"](spark, SF_SMOKE)
-        .sparkSession.table("events")
+        register_views(spark, SF_SMOKE)["events"]
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
