@@ -34,6 +34,11 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customers",
+    "tpch_q22_global_sales_opportunity",
     "join_star_flagship",
     "filter_not_null_group_count",
     "window_rank_per_group",
