@@ -380,41 +380,40 @@ def tpch_q17(spark, t):
     "tpch_q18_large_volume_customers",
     oracle=f"""
         WITH big AS (
-            SELECT l_orderkey FROM lineitem
+            SELECT l_orderkey, {sql_stable_sum('l_quantity')} AS total_qty
+            FROM lineitem
             GROUP BY l_orderkey
             HAVING SUM(l_quantity) > 250
         )
         SELECT c.c_name, c.c_custkey, o.o_orderkey,
                CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
-               {sql_stable_sum('l.l_quantity')} AS total_qty
+               big.total_qty
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         JOIN big ON big.l_orderkey = o.o_orderkey
-        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
         ORDER BY o.o_totalprice DESC, o.o_orderkey
         LIMIT 100
     """,
     covers="TPC-H Q18 shape: HAVING on fact rollup -> semi-filter on parent",
 )
 def tpch_q18(spark, t):
-    """Customers with orders totalling >250 units. The HAVING pre-aggregation
-    produces a small key set that semi-filters the join — at 100 TB this is
-    the difference between joining all orders and joining the 1% that matter.
+    """Customers with orders totalling >250 units. One lineitem rollup
+    serves both the HAVING filter and the output measure (the textbook Q18
+    plan re-joins lineitem and re-aggregates — pointless work); the
+    surviving ~1% of order keys then join orders/customer. At 100 TB this
+    is the difference between joining all orders and joining the few that
+    matter.
     """
     c, o, l = t["customer"], t["orders"], t["lineitem"]
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("tq"))
-        .where(F.col("tq") > 250)
-        .select(F.col("l_orderkey").alias("big_key"))
+        .agg(stable_sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+        .withColumnRenamed("l_orderkey", "big_key")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
         .join(big, o.o_orderkey == F.col("big_key"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(stable_sum("l_quantity").alias("total_qty"))
         .select(
             "c_name",
             "c_custkey",
