@@ -224,3 +224,111 @@ def similarity_bucketed_ann(spark, t):
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "similarity_ivf_ann",
+    oracle="""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS c_emb
+            FROM embeddings WHERE vec_id % 25 = 0
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, cent.cid AS cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], cent.c_emb) DESC,
+                                    cent.cid) AS rn
+                FROM embeddings e, cent
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT q_id, cell FROM (
+                SELECT q.vec_id AS q_id, cent.cid AS cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(q.embedding::DOUBLE[], cent.c_emb) DESC,
+                                    cent.cid) AS rn
+                FROM embeddings q, cent
+                WHERE q.vec_id < 10
+            ) WHERE rn <= 2
+        ),
+        scored AS (
+            SELECT p.q_id, a.vec_id AS cand_id,
+                   LIST_COSINE_SIMILARITY(
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = p.q_id),
+                       a.embedding::DOUBLE[]) AS cos_sim
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.q_id
+        )
+        SELECT q_id, cand_id, cos_sim FROM (
+            SELECT q_id, cand_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos_sim DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    covers="pipeline: IVF-style ANN (coarse-quantizer cells + nprobe=2 probing)",
+)
+def similarity_ivf_ann(spark, t):
+    """IVF-shaped ANN: assign every vector to its nearest coarse-quantizer
+    cell, then answer queries by scanning only the nprobe=2 nearest cells.
+
+    The coarse quantizer here is a deterministic corpus sample (vec_id
+    multiples of 25) so the DuckDB oracle can reproduce the exact cells; a
+    production index would train centroids with pyspark.ml KMeans(seed=...)
+    and the plan below is unchanged (centroids are a small broadcast either
+    way). Shapes that matter at 100 TB: assignment is a broadcast
+    cross-score + per-vector argmax (embarrassingly parallel, one pass),
+    the inverted lists are just a `cell` column (partition/bucket by it in
+    storage), and a query touches ~nprobe/n_cells of the corpus.
+    """
+    from pyspark.sql import Window
+
+    e = t["embeddings"]
+    cent = F.broadcast(
+        e.where(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+        )
+    )
+    # nearest cell per corpus vector (rn=1 over cosine desc, cid tiebreak)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), "cid"
+    )
+    assign = (
+        e.crossJoin(cent)
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine_expr("embedding", "c_emb").alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    # nprobe=2 cells per query vector
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cos_c"), "cid")
+    probes = (
+        q.crossJoin(cent)
+        .select("q_id", "q_emb", "cid", cosine_expr("q_emb", "c_emb").alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= 2)
+        .select("q_id", "q_emb", F.col("cid").alias("cell"))
+    )
+    # scan only the probed cells
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "cand_id")
+    return (
+        probes.join(assign, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine_expr("q_emb", "embedding").alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "cand_id", "cos_sim")
+    )
