@@ -118,3 +118,32 @@ def run_available_now(
 
 def _is_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().logical().toString()
+
+
+def view_purchase_conversions(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join: each purchase matched to the same user's
+    views from the preceding hour (conversion attribution).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance — that pair is what lets Spark evict buffered rows from the
+    join state instead of holding both streams forever (state is
+    O(watermark window), not O(stream length)). The same code runs as a
+    plain batch inequality join when ``events`` is a static frame.
+    """
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        views = views.withWatermark("view_ts", "2 hours")
+        purchases = purchases.withWatermark("purchase_ts", "2 hours")
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("v_user", "view_ts", "purchase_ts", "purchase_value")

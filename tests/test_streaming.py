@@ -105,3 +105,20 @@ def test_stateful_user_profile_matches_batch(spark, events):
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (merged.n_purchases_s == merged.n_purchases_b).all()
     assert (merged.total_value_s - merged.total_value_b).abs().max() < 1e-6
+
+
+def test_stream_stream_join_matches_batch(spark, events):
+    """The watermarked view->purchase conversion join over the drained
+    stream must equal the identical inequality join run as a batch plan."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_views,
+    )
+
+    streamed = sw.run_available_now(
+        sw.view_purchase_conversions(events), "t_conversions"
+    )
+    batch = sw.view_purchase_conversions(register_views(spark, SF_SMOKE)["events"])
+    cols = ["v_user", "view_ts", "purchase_ts", "purchase_value"]
+    got, want = _as_set(streamed, cols), _as_set(batch, cols)
+    assert want, "batch conversions empty — vacuous"
+    assert got == want
