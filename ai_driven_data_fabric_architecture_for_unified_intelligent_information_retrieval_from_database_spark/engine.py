@@ -98,7 +98,7 @@ class DataFabricEngine:
         default_table: str = "employees",
         llm_provider=None,
         log_sink_path: str | None = None,
-        use_star_rules: bool = False,
+        use_star_rules: bool = True,
     ):
         self.spark = spark
         self.tables = set(tables) if tables else {default_table}
@@ -109,7 +109,9 @@ class DataFabricEngine:
         self.query_log: list[QueryLogEntry] = []
         self.log_sink_path = log_sink_path
         #: north-star expansion: try the multi-table star-schema rule set
-        #: before the single-table cascade (plans/star_planner.py).
+        #: before the single-table cascade (plans/star_planner.py). On by
+        #: default — inert unless the star tables are in the allowlist, and
+        #: employee questions always fall through to the reference cascade.
         self.use_star_rules = use_star_rules
 
     # -- schema context (replaces per-request introspection, SURVEY 7.2) ----
@@ -141,17 +143,19 @@ class DataFabricEngine:
         start = time.time()
         sql_query: str | None = None
         try:
-            planned = None
-            if self.use_star_rules:
+            # Precedence mirrors the reference lifecycle (:379-393): the
+            # configured LLM path first, then deterministic rules — star
+            # rules (multi-table, allowlist-gated) ahead of the
+            # single-table cascade, which always answers.
+            planned = self.planner.plan_llm(user_query)
+            if planned is None and self.use_star_rules:
                 from .plans.star_planner import plan_star
 
                 star = plan_star(user_query)
-                if star is not None:
-                    missing = set(star.tables) - self.tables
-                    if not missing:
-                        planned = star
+                if star is not None and not (set(star.tables) - self.tables):
+                    planned = star
             if planned is None:
-                planned = self.planner.plan(user_query)
+                planned = self.planner.plan_cascade(user_query)
             sql_query = planned.sql
             validated = validate_select(self.spark, sql_query, self.tables)
             exec_result = self._execute(validated.sql)

@@ -523,3 +523,77 @@ def tpch_q22(spark, t):
             stable_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+        WITH late AS (
+            SELECT DISTINCT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        ),
+        all_sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM all_sup l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
+    covers="TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact relation",
+)
+def tpch_q21(spark, t):
+    """Suppliers who were the sole late shipper on a finished multi-supplier
+    order (adapted: ship lag >60d replaces the missing receipt/commit
+    dates). The two correlated subqueries become one semi and one anti
+    join against derived key sets — three passes over lineitem keys, zero
+    row duplication, every join partial-aggregated down to distinct
+    (orderkey, suppkey) pairs first.
+    """
+    o = t["orders"].where(F.col("o_orderstatus") == "F")
+    l = t["lineitem"]
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_sup = l.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late
+    # EXISTS: another supplier contributed to the same order
+    other = all_sup.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_sup")
+    )
+    has_other = l1.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_sup")),
+        "semi",
+    )
+    # NOT EXISTS: no other supplier on that order was late
+    other_late = late.select(
+        F.col("l_orderkey").alias("ol_key"), F.col("l_suppkey").alias("ol_sup")
+    )
+    sole_late = has_other.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("ol_key"))
+        & (F.col("l_suppkey") != F.col("ol_sup")),
+        "anti",
+    )
+    s = t["supplier"]
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -217,15 +217,25 @@ class Planner:
     llm_provider: LLMProvider | None = None
     schema_text: str = field(default="")
 
-    def plan(self, user_query: str) -> PlannedQuery:
-        if self.llm_provider is not None:
-            generated = self.llm_provider(user_query, self.schema_text)
-            if generated:
-                intent = Intent.detect(user_query.lower())
-                return PlannedQuery(
-                    sql=generated.strip().rstrip(";"),
-                    branch="llm",
-                    intent=intent,
-                    table=self.table,
-                )
+    def plan_llm(self, user_query: str) -> "PlannedQuery | None":
+        """The N4 path alone: None when no provider is configured or it
+        returns nothing (caller falls through to star rules / cascade)."""
+        if self.llm_provider is None:
+            return None
+        generated = self.llm_provider(user_query, self.schema_text)
+        if not generated:
+            return None
+        intent = Intent.detect(user_query.lower())
+        return PlannedQuery(
+            sql=generated.strip().rstrip(";"),
+            branch="llm",
+            intent=intent,
+            table=self.table,
+        )
+
+    def plan_cascade(self, user_query: str) -> PlannedQuery:
+        """The deterministic N3 cascade alone."""
         return plan(user_query, table=self.table)
+
+    def plan(self, user_query: str) -> PlannedQuery:
+        return self.plan_llm(user_query) or self.plan_cascade(user_query)

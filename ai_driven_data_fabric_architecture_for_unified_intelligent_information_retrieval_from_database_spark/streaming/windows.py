@@ -147,3 +147,29 @@ def view_purchase_conversions(events: DataFrame) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("v_user", "view_ts", "purchase_ts", "purchase_value")
+
+
+def run_foreach_batch_append(
+    stream_df: DataFrame, path: str, query_name: str = "fb_append"
+) -> None:
+    """Drain a streaming plan into an append-only parquet directory via
+    ``foreachBatch`` — the general-purpose streaming sink: each micro-batch
+    arrives as a *batch* DataFrame, so any batch writer (parquet here, but
+    equally JDBC/Delta/bucketed tables) becomes a streaming sink with
+    batch-id-based replay protection left to the writer's idempotence.
+
+    This is the streaming twin of sources/sinks.py::append_log and the
+    scaled-up form of the reference's query-log INSERT
+    (core/ai_query_generator.py:364-377).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -122,3 +122,26 @@ def test_stream_stream_join_matches_batch(spark, events):
     got, want = _as_set(streamed, cols), _as_set(batch, cols)
     assert want, "batch conversions empty — vacuous"
     assert got == want
+
+
+def test_foreach_batch_append_sink(spark, events, tmp_path_factory):
+    """foreachBatch parquet sink: draining the filtered stream must land
+    exactly the batch-filtered rows in the append directory."""
+    path = str(tmp_path_factory.mktemp("fb") / "purchases")
+    from pyspark.sql import functions as F
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_views,
+    )
+
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    sw.run_foreach_batch_append(purchases, path)
+    landed = spark.read.parquet(path)
+    want = (
+        register_views(spark, SF_SMOKE)["events"]
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert landed.count() == want > 0
