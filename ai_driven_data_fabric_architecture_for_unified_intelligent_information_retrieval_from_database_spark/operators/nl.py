@@ -24,6 +24,14 @@ _NL_CASES = {
         "avg_order_value_by_segment",
     ),
     "nl_count_suppliers": ("How many suppliers do we have?", "count_supplier"),
+    "nl_docs_by_language": (
+        "Show document counts by language",
+        "docs_by_language",
+    ),
+    "nl_longest_documents": ("What are the 5 longest documents?", "longest_documents"),
+    "nl_events_by_hour": ("How many events per hour?", "events_by_hour"),
+    "nl_events_by_type": ("Give me the event breakdown by type", "events_by_type"),
+    "nl_most_active_users": ("Who are the 8 most active users?", "most_active_users"),
 }
 
 

@@ -161,6 +161,67 @@ def plan_star(question: str) -> StarPlan | None:
                     tables=(table,),
                 )
 
+    # document-corpus questions -------------------------------------------
+    if _has_word(q, "document") or _has_word(q, "doc"):
+        if has("per language", "by language", "each language"):
+            return StarPlan(
+                sql=(
+                    "SELECT lang, COUNT(*) AS n_docs, "
+                    "CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)"
+                    " / COUNT(n_chars) AS avg_chars "
+                    "FROM documents GROUP BY lang"
+                ),
+                branch="docs_by_language",
+                tables=("documents",),
+            )
+        if has("longest", "largest", "biggest"):
+            k = _first_int(q, 10)
+            return StarPlan(
+                sql=(
+                    "SELECT doc_id, lang, n_chars FROM documents "
+                    f"ORDER BY n_chars DESC, doc_id LIMIT {k}"
+                ),
+                branch="longest_documents",
+                tables=("documents",),
+            )
+        if has("how many", "count", "number of"):
+            return StarPlan(
+                sql="SELECT COUNT(*) AS count FROM documents",
+                branch="count_documents",
+                tables=("documents",),
+            )
+
+    # event-stream questions ----------------------------------------------
+    if _has_word(q, "event") or _has_word(q, "activity") or _has_word(q, "user"):
+        if has("per hour", "by hour", "hourly"):
+            return StarPlan(
+                sql=(
+                    "SELECT DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n_events "
+                    "FROM events GROUP BY DATE_TRUNC('hour', ts)"
+                ),
+                branch="events_by_hour",
+                tables=("events",),
+            )
+        if has("per type", "by type", "each type", "breakdown"):
+            return StarPlan(
+                sql=(
+                    "SELECT event_type, COUNT(*) AS n_events "
+                    "FROM events GROUP BY event_type"
+                ),
+                branch="events_by_type",
+                tables=("events",),
+            )
+        if has("most active", "top user"):
+            k = _first_int(q, 10)
+            return StarPlan(
+                sql=(
+                    "SELECT user_id, COUNT(*) AS n_events FROM events "
+                    f"GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT {k}"
+                ),
+                branch="most_active_users",
+                tables=("events",),
+            )
+
     # customers without orders (anti-join shape) --------------------------
     if has("customer") and has("without", "no orders", "never ordered"):
         return StarPlan(

@@ -96,3 +96,19 @@ def test_star_rule_blocked_when_tables_not_allowlisted(spark):
     # star rule needs lineitem/orders/... which are not allowlisted -> falls
     # through to the single-table cascade (default branch) on employees
     assert "FROM employees" in out["sql_query"]
+
+
+DOC_EVENT_CASES = [
+    ("Show document counts by language", "docs_by_language"),
+    ("What are the 5 longest documents?", "longest_documents"),
+    ("how many documents are in the corpus", "count_documents"),
+    ("How many events per hour?", "events_by_hour"),
+    ("Give me the event breakdown by type", "events_by_type"),
+    ("Who are the 8 most active users?", "most_active_users"),
+]
+
+
+@pytest.mark.parametrize("question,branch", DOC_EVENT_CASES)
+def test_document_event_branches(question, branch):
+    p = plan_star(question)
+    assert p is not None and p.branch == branch, f"{question!r} -> {p and p.branch}"
