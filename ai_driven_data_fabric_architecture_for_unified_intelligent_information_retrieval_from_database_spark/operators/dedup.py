@@ -137,7 +137,13 @@ def dedup_ngram_jaccard(spark, t):
     """
     sh = _distinct_shingles(t)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Shingles present in only one document cannot contribute a pair;
+    # dropping them before the self-join shrinks the join input ~10x on
+    # this corpus (singleton shingles dominate any natural-text corpus)
+    # while set sizes above keep counting the full sets.
+    shared = sh.groupBy("sh").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    sh_join = sh.join(shared.select("sh"), "sh", "semi")
+    a, b = sh_join.alias("a"), sh_join.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
