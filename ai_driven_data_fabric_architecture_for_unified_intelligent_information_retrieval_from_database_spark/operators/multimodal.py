@@ -167,3 +167,114 @@ def multimodal_decode_features(spark, t):
     """The decode stage as a registered query — proves the Pandas-UDF
     plumbing produces typed, deterministic, oracle-matching output."""
     return decode_stub_features(t["documents"])
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int, "
+    "scale double"
+)
+
+TARGET_EDGE = 224
+
+
+def resize_stub(decoded: DataFrame) -> DataFrame:
+    """Resize planning stage over decoded frames (mapInPandas): compute the
+    aspect-preserving fit into TARGET_EDGE^2 and the scale factor.
+
+    STUB at the pixel level (no imaging library), real at the plumbing
+    level: the stage consumes the decode stage's Arrow batches, does
+    vectorized per-batch arithmetic in pandas, and emits a typed schema —
+    swap the arithmetic for actual resampling in production.
+    """
+
+    def _resize(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = pdf[["doc_id", "width", "height"]].copy()
+            long_edge = out[["width", "height"]].max(axis=1)
+            scale = TARGET_EDGE / long_edge
+            out["out_width"] = (out["width"] * scale).round().astype("int32").clip(lower=1)
+            out["out_height"] = (out["height"] * scale).round().astype("int32").clip(lower=1)
+            out["scale"] = scale
+            yield out[["doc_id", "width", "height", "out_width", "out_height", "scale"]]
+
+    return decoded.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INT) AS width,
+                   CAST(OCTET_LENGTH(ENCODE(text)) * 7 % 480 + 1 AS INT) AS height
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               GREATEST(CAST(ROUND(width * ({TARGET_EDGE}.0 / GREATEST(width, height)))
+                             AS INT), 1) AS out_width,
+               GREATEST(CAST(ROUND(height * ({TARGET_EDGE}.0 / GREATEST(width, height)))
+                             AS INT), 1) AS out_height,
+               {TARGET_EDGE}.0 / GREATEST(width, height) AS scale
+        FROM d
+    """,
+    covers="pipeline: multimodal resize stage (chained mapInPandas, aspect-preserving)",
+)
+def multimodal_resize_plan(spark, t):
+    """Decode -> resize as two chained Arrow-batched stages (the schema
+    handoff between Pandas-UDF stages is the part worth proving)."""
+    return resize_stub(decode_stub_features(t["documents"])).drop("n_bytes")
+
+
+FRAME_BYTES = 256
+SAMPLE_EVERY = 4
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH v AS (
+            SELECT doc_id,
+                   CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+                   GREATEST(CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) // {FRAME_BYTES}, 1)
+                       AS n_frames
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n_frames,
+                   UNNEST(GENERATE_SERIES(0, CAST(n_frames - 1 AS BIGINT), {SAMPLE_EVERY}))
+                       AS frame_idx
+            FROM v
+        )
+        SELECT doc_id, n_frames, frame_idx,
+               frame_idx * {FRAME_BYTES} AS byte_offset
+        FROM f
+    """,
+    covers="pipeline: multimodal frame sampling (every k-th frame via stepped sequence)",
+)
+def multimodal_frame_sample(spark, t):
+    """Video-style frame sampling plan: treat the payload as fixed-size
+    frames, keep every SAMPLE_EVERY-th index with its byte offset — the
+    row set a real frame decoder consumes. Stepped ``sequence`` + explode;
+    no Python, no shuffle."""
+    d = t["documents"]
+    n_bytes = F.octet_length("text").cast("long")
+    n_frames = F.greatest(n_bytes / F.lit(FRAME_BYTES), F.lit(1)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            n_frames.alias("n_frames"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (n_frames - 1),
+                    F.lit(SAMPLE_EVERY).cast("long"),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            (F.col("frame_idx") * FRAME_BYTES).alias("byte_offset"),
+        )
+    )
