@@ -960,3 +960,32 @@ def array_functions_embeddings(spark, t):
             " cast(0 as double), (a, x) -> a + x)"
         ).alias("n_nonneg"),
     )
+
+
+@query(
+    "window_ntile_percent_rank",
+    oracle="""
+        SELECT c_custkey,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    covers="2.5 windows (ntile/percent_rank/cume_dist distribution functions)",
+)
+def window_ntile_percent_rank(spark, t):
+    """Quartile bucketing + relative-rank statistics over account balance.
+    Unpartitioned ORDER BY is deliberate here (a customer-percentile report
+    is global by definition); at scale you bound it by partitioning on a
+    coarse key or pre-aggregating — the per-group variants are covered by
+    window_rank_per_group."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return t["customer"].select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -46,3 +46,38 @@ def skew_salted_join(spark, t):
         t["customer"], t["nation"], "c_nationkey", "n_nationkey", n_salts=8
     )
     return joined.groupBy("n_name").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "sampling_deterministic_split",
+    oracle="""
+        WITH tagged AS (
+            SELECT doc_id, lang,
+                   CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM documents
+        )
+        SELECT lang, split, COUNT(*) AS n_docs
+        FROM tagged GROUP BY lang, split
+    """,
+    covers="pipeline: deterministic hash split (reproducible train/eval sampling)",
+)
+def sampling_deterministic_split(spark, t):
+    """Content-addressed train/eval split: a document's split is a pure
+    function of its id (md5-prefix threshold ~10% eval), not of rand().
+
+    This is the sampling discipline a 100 TB training pipeline needs:
+    re-runs, retries, and incremental arrivals land in the same split with
+    no seed-state to coordinate; adding data never reshuffles old
+    assignments. rand(seed)-based sampling guarantees none of that (seed is
+    per-partition-ordering dependent).
+    """
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a", "eval"
+    ).otherwise("train")
+    return (
+        t["documents"]
+        .select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
