@@ -186,3 +186,32 @@ def events_dedup_latest_state(spark, t):
             F.col("event_type").alias("last_type"),
         )
     )
+
+
+@query(
+    "events_json_schema_parse",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INT) AS min_k,
+               CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INT) AS max_k,
+               CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
+    """,
+    covers="expansion 2.8 (from_json schema-on-read struct parse + aggregate)",
+)
+def events_json_schema_parse(spark, t):
+    """Parse the JSON props column against a declared schema
+    (``from_json`` -> struct, the columnar alternative to per-path
+    ``get_json_object``: one parse, all fields) and aggregate a typed
+    field. At 100 TB you parse once into a struct column at ingest, not
+    per query."""
+    parsed = t["events"].withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.sum("p.k").cast("bigint").alias("sum_k"),
+    )
