@@ -149,3 +149,61 @@ def windowed_event_rate(spark, t):
     return by_day.select(
         "day", "user_id", "n", F.sum("n").over(w).cast("long").alias("n_7day")
     )
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events
+            WHERE event_type = 'error' AND CAST(props->>'$.k' AS INTEGER) < 3
+            GROUP BY 1
+        ),
+        bounds AS (
+            SELECT CAST(DATE_TRUNC('day', MIN(ts)) AS DATE) AS lo,
+                   CAST(DATE_TRUNC('day', MAX(ts)) AS DATE) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY))::DATE AS day
+            FROM bounds
+        )
+        SELECT spine.day, COALESCE(daily.n, 0) AS n
+        FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    covers="temporal: date-spine gap fill (dense series from sparse observations)",
+)
+def timeseries_gap_fill(spark, t):
+    """Dense daily rare-error series (error events with k<3 — sparse
+    enough that real gaps exist at every test sf): days with no matches
+    appear as 0 instead of being absent — the prerequisite for window/rate math
+    downstream (a rolling mean over a gappy series is silently wrong).
+
+    The spine is sequence(min_day, max_day) exploded from a 1-row frame —
+    O(days) rows generated without a driver loop — then a left join that
+    broadcasts the spine side. At 100 TB the daily aggregate is tiny
+    regardless of input size, so this shape never becomes the bottleneck.
+    """
+    ev = t["events"]
+    daily = (
+        ev.where(
+            (F.col("event_type") == "error")
+            & (F.get_json_object("props", "$.k").cast("int") < 3)
+        )
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )

@@ -146,3 +146,12 @@ def test_q19_disjunction_partially_pushes_down(spark):
 def test_q18_having_prefilter_take_ordered(spark):
     plan = plan_of(spark, "tpch_q18_large_volume_customers")
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_gap_fill_produces_zero_days(spark):
+    """The spine join must actually fill gaps (a filter choice that leaves
+    no gaps would make the operator's whole point vacuous)."""
+    df = queries()["timeseries_gap_fill"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert len(rows) == 30
+    assert any(r.n == 0 for r in rows), "no gap days — filter too broad"
