@@ -286,6 +286,40 @@ class DataFabricEngine:
     def inspect(self, table: str, sample_size: int = 5) -> dict[str, Any]:
         return inspect_table(self.spark, table, sample_size)
 
+    def explain(self, user_query: str) -> dict[str, Any]:
+        """Planning transparency: the SQL the NL path would run, which rule
+        produced it, and Spark's physical plan — without executing. The
+        introspection counterpart of :meth:`process` (the reference exposes
+        only the final SQL in its response; at 100 TB you want to read the
+        plan before paying for the query)."""
+        user_query = (user_query or "").strip()
+        if not user_query:
+            return {"success": False, "error": "Query cannot be empty"}
+        try:
+            planned = self.planner.plan_llm(user_query)
+            if planned is None and self.use_star_rules:
+                from .plans.star_planner import plan_star
+
+                star = plan_star(user_query)
+                if star is not None and not (set(star.tables) - self.tables):
+                    planned = star
+            if planned is None:
+                planned = self.planner.plan_cascade(user_query)
+            validated = validate_select(self.spark, planned.sql, self.tables)
+            df = self.spark.sql(validated.sql)
+            physical = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            return {
+                "success": True,
+                "original_query": user_query,
+                "sql_query": planned.sql,
+                "branch": getattr(planned, "branch", None),
+                "physical_plan": physical,
+            }
+        except Exception as exc:
+            return {"success": False, "error": str(exc)}
+
 
 #: The reference's canonical 15-question corpus (core/views.py:68-84) — the
 #: de-facto acceptance set for the planner.

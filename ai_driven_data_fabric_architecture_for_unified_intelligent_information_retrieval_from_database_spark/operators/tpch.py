@@ -219,3 +219,22 @@ def pivot_status_by_priority(spark, t):
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("o_cnt"),
         F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("p_cnt"),
     )
+
+
+@query(
+    "grouping_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    covers="2.4 expansion (CUBE grouping sets — all subtotal combinations)",
+)
+def grouping_cube(spark, t):
+    """All 2^2 subtotal combinations via CUBE. One pass: Spark expands the
+    grouping sets map-side, so the fact table is still read once."""
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )

@@ -141,3 +141,18 @@ def test_multi_table_allowlist(spark):
     out = eng2.process("top customers by order count")
     assert out["success"] is True
     assert out["row_count"] == 5
+
+
+def test_explain_returns_plan_without_executing(spark):
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_employees,
+    )
+
+    register_employees(spark, n=40)
+    eng = DataFabricEngine(spark, tables={"employees"})
+    out = eng.explain("How many employees work in the IT department?")
+    assert out["success"] is True
+    assert "COUNT(*)" in out["sql_query"]
+    assert out["branch"] == "count_department_match"
+    assert "HashAggregate" in out["physical_plan"] or "Aggregate" in out["physical_plan"]
+    assert eng.explain("")["success"] is False
