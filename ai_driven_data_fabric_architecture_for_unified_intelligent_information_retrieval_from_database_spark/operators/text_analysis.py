@@ -212,3 +212,35 @@ def text_shingle_stats(spark, t):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_distinct_shingles"))
     )
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS BIGINT)
+                   AS n_pieces,
+               CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                        w -> CEIL(LENGTH(w) / 4.0))) AS BIGINT) AS bpe_est
+        FROM documents
+    """,
+    covers="pipeline: BPE-ish token estimation (regex word-pieces + len/4 heuristic)",
+)
+def text_bpe_token_estimate(spark, t):
+    """Two LLM-token-count estimators per document, both pure expressions:
+
+    - ``n_pieces``: regex word/punctuation pieces (the pre-tokenizer split
+      every BPE vocabulary starts from);
+    - ``bpe_est``: the ~4-chars-per-token heuristic, summed per word via a
+      higher-order fold (matches how budget estimators are actually run
+      over corpora when the real tokenizer is too slow for 100 TB).
+    """
+    n_pieces = F.regexp_count("text", F.lit(r"\w+|[^\w\s]")).cast("long")
+    bpe_est = F.expr(
+        "cast(aggregate(transform(split(text, ' '), "
+        "w -> cast(ceil(length(w) / 4.0) as double)), "
+        "cast(0 as double), (acc, x) -> acc + x) as bigint)"
+    )
+    return t["documents"].select(
+        "doc_id", n_pieces.alias("n_pieces"), bpe_est.alias("bpe_est")
+    )
