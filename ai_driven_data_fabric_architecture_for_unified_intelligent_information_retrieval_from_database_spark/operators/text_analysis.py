@@ -244,3 +244,35 @@ def text_bpe_token_estimate(spark, t):
     return t["documents"].select(
         "doc_id", n_pieces.alias("n_pieces"), bpe_est.alias("bpe_est")
     )
+
+
+@query(
+    "text_fuzzy_name_pairs",
+    oracle="""
+        SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+               CAST(LEVENSHTEIN(a.s_name, b.s_name) AS INT) AS dist
+        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        WHERE LEVENSHTEIN(a.s_name, b.s_name) <= 1
+    """,
+    covers="pipeline: fuzzy entity matching (bounded Levenshtein pair join)",
+)
+def text_fuzzy_name_pairs(spark, t):
+    """Near-identical supplier names by edit distance <= 1 (the selective
+    threshold on this corpus: 900 of 4950 pairs; <=2 matches everything
+    because the names differ only in digits) — the record-
+    linkage primitive. All-pairs is fine for a dimension table (|supplier|^2
+    is small); for fact-scale fuzzy joins, block first (sorted neighborhood
+    or LSH on name shingles — see the dedup operators) and run this
+    comparison only within blocks."""
+    s = t["supplier"]
+    a = s.select(F.col("s_suppkey").alias("a_key"), F.col("s_name").alias("a_name"))
+    b = s.select(F.col("s_suppkey").alias("b_key"), F.col("s_name").alias("b_name"))
+    return (
+        a.join(F.broadcast(b), F.col("a_key") < F.col("b_key"))
+        .select(
+            "a_key",
+            "b_key",
+            F.levenshtein("a_name", "b_name").alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+    )

@@ -1,0 +1,76 @@
+"""Incrementally-maintained materialized rollup: a daily aggregate table
+kept current by the event stream.
+
+The pattern every 100 TB warehouse runs somewhere: raw events land
+continuously; queries want a small pre-aggregated table, not the feed.
+
+Mechanics — and why each piece is load-bearing:
+
+- the rollup is a STREAMING aggregation (groupBy day/event_type with a
+  watermark): Spark's state store accumulates the running aggregate, so a
+  batch that touches a day already written still produces the *complete*
+  cumulative row for that key (a batch-local aggregate would silently drop
+  the earlier contribution on overwrite);
+- update output mode hands ``foreachBatch`` only the keys that changed —
+  work per batch is O(changed keys), not O(history);
+- the table is partitioned by the FULL group key (day, event_type) and
+  written with dynamic partition overwrite: every updated key fully
+  replaces exactly its own partition, nothing else. Replaying a batch
+  rewrites identical content — idempotent under foreachBatch's
+  at-least-once delivery, no transaction log required;
+- the watermark bounds both state size and how far back late events can
+  rewrite.
+
+A Delta/Iceberg MERGE would add row-level atomicity; this form needs
+nothing beyond vanilla parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def day_rollup(events: DataFrame) -> DataFrame:
+    """The rollup expression, shared by stream (stateful) and batch
+    (ground-truth) forms."""
+    return events.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+def maintain_daily_rollup(
+    events_stream: DataFrame,
+    path: str,
+    query_name: str = "daily_rollup",
+    watermark: str = "1 hour",
+) -> None:
+    """Drain the stream (availableNow) into the day/type-partitioned rollup
+    table, rewriting only the partitions whose aggregates changed."""
+    spark = events_stream.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rollup = day_rollup(events_stream.withWatermark("ts", watermark))
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.repartition("day", "event_type")
+            .write.mode("overwrite")
+            .partitionBy("day", "event_type")
+            .parquet(path)
+        )
+
+    q = (
+        rollup.writeStream.outputMode("update")
+        .foreachBatch(_upsert)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
