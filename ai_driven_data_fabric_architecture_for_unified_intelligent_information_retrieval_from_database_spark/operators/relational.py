@@ -989,3 +989,28 @@ def window_ntile_percent_rank(spark, t):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "agg_string_concat_per_group",
+    oracle="""
+        SELECT r.r_name,
+               STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    covers="2.4 expansion (ordered string aggregation per group)",
+)
+def agg_string_concat_per_group(spark, t):
+    """Comma-joined nation list per region. Spark has no ordered
+    STRING_AGG; sort_array(collect_list(...)) then concat_ws is the
+    deterministic equivalent (collect_list order is partition-dependent —
+    never emit it unsorted)."""
+    n, r = t["nation"], t["region"]
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+        )
+    )

@@ -89,7 +89,11 @@ def _rechunk(sf_dir: str, target_row_groups: int = 32) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_dir = _rechunk(sf_dir)
+    try:
+        sf_dir = _rechunk(sf_dir)
+    except Exception as exc:  # e.g. read-only /tmp — run on the originals
+        print(f"rechunk skipped ({exc}); benchmarking original files",
+              file=sys.stderr)
     # Local-bench-only tuning: the re-chunked files are ~10 MB with ~350 KB
     # row groups, so the 128 MB default split would still give one scan
     # partition — small splits spread the row groups over the 32 cores. A
