@@ -1014,3 +1014,33 @@ def agg_string_concat_per_group(spark, t):
             F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
         )
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM (
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 100 = 0
+            UNION ALL BY NAME
+            SELECT o_orderpriority, o_orderkey, NULL AS o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 1
+        )
+    """,
+    covers="2.7 expansion (union by name: column-matched, schema-evolving)",
+)
+def set_union_by_name(spark, t):
+    """Position-independent union with a missing column — the
+    schema-evolution shape (new files carry new/reordered columns; old
+    rows take NULL). ``unionByName(allowMissingColumns=True)`` matches by
+    NAME where ``union`` would silently misalign positions."""
+    o = t["orders"]
+    a = o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    b = o.where(F.col("o_orderkey") % 100 == 1).select(
+        "o_orderpriority", "o_orderkey"
+    )
+    return a.unionByName(b, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )

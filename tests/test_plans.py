@@ -155,3 +155,11 @@ def test_gap_fill_produces_zero_days(spark):
     rows = df.collect()
     assert len(rows) == 30
     assert any(r.n == 0 for r in rows), "no gap days — filter too broad"
+
+
+def test_nl_star_path_broadcasts_dimensions(spark):
+    """The NL-emitted SQL goes through spark.sql over the registered views;
+    Catalyst must still broadcast nation/region exactly as the hand-built
+    DataFrame plans do."""
+    plan = plan_of(spark, "nl_revenue_by_region")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
