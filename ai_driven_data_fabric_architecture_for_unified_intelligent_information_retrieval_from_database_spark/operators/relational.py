@@ -1044,3 +1044,43 @@ def set_union_by_name(spark, t):
     return a.unionByName(b, allowMissingColumns=True).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               FIRST_VALUE(o_totalprice) OVER w AS first_price,
+               LAST_VALUE(o_totalprice) OVER w AS last_price,
+               CAST(NTH_VALUE(o_totalprice, 2) OVER w AS DOUBLE) AS second_price
+        FROM orders
+        WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    covers="2.5 windows (first/last/nth_value with explicit full frame)",
+)
+def window_first_last_value(spark, t):
+    """First/last/second order price per customer over an explicit
+    unbounded frame. The frame spec matters: the default frame for
+    LAST_VALUE (range to CURRENT ROW) returns the current row's value —
+    the classic window bug — so both engines pin the full frame."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t["orders"]
+        .where(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+    )
