@@ -823,21 +823,53 @@ def agg_percentiles(spark, t):
 
 @query(
     "agg_approx_sketches",
-    oracle=None,  # sketch algorithms (HLL++/KLL) are engine-specific by
-    # nature; tests assert bounded relative error vs exact counts instead
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS orders_within_5pct,
+               TRUE AS parts_within_5pct,
+               TRUE AS median_within_2pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
     covers="2.4 expansion (approx_count_distinct / percentile_approx - the 100 TB path)",
 )
 def agg_approx_sketches(spark, t):
     """Sketch-based aggregates - the only sane distinct-count/quantile at
-    100 TB (fixed-size mergeable state, no sort, no exact shuffle)."""
-    return (
+    100 TB (fixed-size mergeable state, no sort, no exact shuffle).
+
+    Raw sketch outputs are engine-specific, so the gate row is made
+    hash-checkable by self-verification: the same single groupBy computes the
+    sketch AND the exact value, and the projection emits the exact counts plus
+    boolean error-bound verdicts (HLL rsd=0.01 checked at 5%, t-digest
+    accuracy=10000 checked at 2%). The DuckDB oracle emits the identical exact
+    counts with literal TRUE verdicts - the value hash matches iff the sketch
+    error bounds actually hold. At 100 TB you would drop the exact twins and
+    keep only the sketch columns; the mergeable-state plan shape is identical.
+    """
+    agg = (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
         )
+    )
+
+    def within(approx, exact, tol):
+        return (F.abs(F.col(approx) - F.col(exact)) <= tol * F.abs(F.col(exact)))
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders", 0.05).alias("orders_within_5pct"),
+        within("approx_parts", "exact_parts", 0.05).alias("parts_within_5pct"),
+        within("approx_median_price", "exact_median_price", 0.02).alias("median_within_2pct"),
     )
 
 
