@@ -7,9 +7,14 @@ substring anywhere* (``:301-302`` — which falsely rejects a column named
 (``:305-307``). Per SURVEY.md section 4.2 we instead parse the statement
 with Spark's own SQL parser and validate the *logical plan*:
 
-- the parsed tree must contain no DDL/DML/command nodes (checked against
-  the parser's statement node classes, not string matching);
-- every relation referenced must be in the caller's table allowlist.
+- every plan node in the parsed tree must be a known pure-query node
+  (allowlist — an unrecognized or future command node is rejected, not
+  silently admitted);
+- every relation referenced must either be in the caller's table allowlist
+  or be a CTE defined in an enclosing scope of that reference. Subquery
+  aliases do NOT excuse a relation: ``FROM (SELECT ...) x`` never produces
+  an ``UnresolvedRelation [x]``, so an alias that shares a name with a
+  non-allowlisted table must not legitimize reading that table.
 
 This is strictly stronger (catches ``SELECT``-prefixed injections the
 substring check misses) and strictly fairer (admits legitimate text that
@@ -29,25 +34,60 @@ class SqlValidationError(ValueError):
     pass
 
 
-#: Logical-plan node names that indicate anything other than a pure query.
-#: Matched against the parsed tree's node class names (word-boundary), not
-#: against the raw SQL text.
-_FORBIDDEN_NODE_RE = re.compile(
-    r"\b("
-    r"InsertInto\w*|CreateTable\w*|CreateView\w*|CreateNamespace\w*|"
-    r"DropTable\w*|DropView\w*|DropNamespace\w*|AlterTable\w*|AlterView\w*|"
-    r"DeleteFromTable|UpdateTable|MergeIntoTable|TruncateTable\w*|"
-    r"SetCatalogAndNamespace|SetNamespace\w*|CreateFunction\w*|DropFunction\w*|"
-    r"RefreshTable|RepairTable|AddArchivesCommand|AddFilesCommand|"
-    r"AddJarsCommand|SetCommand|ResetCommand|ExplainCommand|"
-    r"CacheTable\w*|UncacheTable\w*"
-    r")\b"
+#: Logical-plan node class names that can appear in the parsed (unresolved)
+#: tree of a pure query. Anything else — DDL/DML/command nodes, SHOW/DESCRIBE,
+#: and node types introduced by future Spark versions — is rejected by name.
+#: (Inverted from a denylist: a denylist admits what it forgot to name.)
+_ALLOWED_NODES = frozenset(
+    {
+        # leaf relations / row generators
+        "UnresolvedRelation",
+        "UnresolvedInlineTable",
+        "UnresolvedTableValuedFunction",
+        "OneRowRelation",
+        "LocalRelation",
+        "Range",
+        # projection / predicates / aggregation
+        "Project",
+        "Filter",
+        "Aggregate",
+        "UnresolvedHaving",
+        # ordering / limiting
+        "Sort",
+        "GlobalLimit",
+        "LocalLimit",
+        "Offset",
+        "Tail",
+        # duplicate elimination & set operations
+        "Distinct",
+        "Deduplicate",
+        "Union",
+        "Intersect",
+        "Except",
+        # joins & scoping
+        "Join",
+        "SubqueryAlias",
+        "UnresolvedSubqueryColumnAliases",
+        # common table expressions (spellings across Spark versions)
+        "CTE",
+        "UnresolvedWith",
+        "CTERelationDef",
+        "CTERelationRef",
+        # windows / generators / reshaping
+        "Window",
+        "WithWindowDefinition",
+        "Generate",
+        "Pivot",
+        "Unpivot",
+        # sampling / hints / distribution (pure — affect physical layout only)
+        "Sample",
+        "UnresolvedHint",
+        "Repartition",
+        "RepartitionByExpression",
+    }
 )
 
-_RELATION_RE = re.compile(r"'?UnresolvedRelation \[([^\]]+)\]")
-#: Names defined inside the statement itself (CTEs, subquery aliases) are
-#: legitimate relation targets without being catalog tables.
-_LOCAL_ALIAS_RE = re.compile(r"'?(?:SubqueryAlias|CTERelationDef)\s+(\w+)")
+_BRACKET_RE = re.compile(r"\[([^\]]*)\]")
 
 
 def strip_markdown_fences(sql: str) -> str:
@@ -61,6 +101,67 @@ def strip_markdown_fences(sql: str) -> str:
 class ValidatedSql:
     sql: str
     tables: set[str]
+
+
+@dataclass(frozen=True)
+class _TreeNode:
+    index: int  #: line number within the treeString
+    indent: int  #: column where the node name starts — children indent deeper
+    name: str  #: plan node class name (leading ' stripped)
+    rest: str  #: full node text from the name onward
+
+
+def _parse_tree_nodes(tree: str) -> list[_TreeNode]:
+    """One :class:`_TreeNode` per treeString line.
+
+    ``treeString`` prints exactly one plan node per line, prefixed by
+    tree-drawing characters (``+-``, ``:-``, ``:``, spaces) whose width
+    strictly increases from parent to child — so subtree membership can be
+    recovered by indent comparison without walking JVM objects.
+    """
+    nodes: list[_TreeNode] = []
+    for i, line in enumerate(tree.splitlines()):
+        if not line.strip():
+            continue
+        indent = re.match(r"^[\s:+\-]*", line).end()
+        rest = line[indent:]
+        if rest.startswith("'"):
+            rest = rest[1:]
+        m = re.match(r"[A-Za-z_$][\w$]*", rest)
+        if not m:  # defensive: a line with no node-name-shaped token
+            raise SqlValidationError(f"unrecognized plan line: {line.strip()!r}")
+        nodes.append(_TreeNode(index=i, indent=indent, name=m.group(0), rest=rest))
+    return nodes
+
+
+def _cte_scopes(nodes: list[_TreeNode]) -> list[tuple[int, int, set[str]]]:
+    """``(start, end, names)`` spans in which each CTE definition is in scope.
+
+    A ``CTE [a, b]`` node's names are visible exactly within its subtree
+    (the following lines with greater indent). Names are deliberately NOT
+    collected globally: a CTE defined inside one subquery must not excuse a
+    same-named real-table read elsewhere in the statement.
+    """
+    scopes = []
+    for pos, node in enumerate(nodes):
+        names: set[str] = set()
+        if node.name in ("CTE", "UnresolvedWith"):
+            m = _BRACKET_RE.search(node.rest)
+            if m:
+                names = {p.strip().lower() for p in m.group(1).split(",") if p.strip()}
+        elif node.name == "CTERelationDef":
+            m = re.match(r"CTERelationDef\s+(\w+)", node.rest)
+            if m:
+                names = {m.group(1).lower()}
+        if not names:
+            continue
+        end = node.index
+        for later in nodes[pos + 1 :]:
+            if later.indent <= node.indent:
+                break
+            end = later.index
+        scopes.append((node.index, end, names))
+    return scopes
 
 
 def validate_select(
@@ -93,19 +194,33 @@ def validate_select(
     except Exception as exc:  # parse failure
         raise SqlValidationError(f"SQL does not parse: {exc}") from exc
 
-    bad = _FORBIDDEN_NODE_RE.search(tree)
-    if bad:
-        raise SqlValidationError(f"non-query operation in plan: {bad.group(1)}")
+    nodes = _parse_tree_nodes(tree)
+    for node in nodes:
+        if node.name not in _ALLOWED_NODES:
+            raise SqlValidationError(f"non-query operation in plan: {node.name}")
 
-    tables = set()
-    for m in _RELATION_RE.finditer(tree):
+    scopes = _cte_scopes(nodes)
+    tables: set[str] = set()
+    unknown: set[str] = set()
+    allowed_lower = {t.lower() for t in allowed_tables}
+    for node in nodes:
+        if node.name != "UnresolvedRelation":
+            continue
+        m = _BRACKET_RE.search(node.rest)
+        if not m:
+            continue
         # UnresolvedRelation [db, table] or [table]
-        parts = [p.strip() for p in m.group(1).split(",")]
-        tables.add(parts[-1].lower())
-    local_aliases = {m.group(1).lower() for m in _LOCAL_ALIAS_RE.finditer(tree)}
-    unknown = tables - local_aliases - {t.lower() for t in allowed_tables}
+        name = m.group(1).split(",")[-1].strip().lower()
+        in_cte_scope = any(
+            start <= node.index <= end and name in names for start, end, names in scopes
+        )
+        if in_cte_scope:
+            continue
+        tables.add(name)
+        if name not in allowed_lower:
+            unknown.add(name)
     if unknown:
         raise SqlValidationError(f"references non-allowlisted tables: {sorted(unknown)}")
-    if not tables:
+    if not tables and not scopes:
         raise SqlValidationError("query references no known table")
     return ValidatedSql(sql=cleaned, tables=tables)

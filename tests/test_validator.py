@@ -84,3 +84,74 @@ def test_non_select_prefix_rejected(spark):
 
 def test_strip_fences_idempotent():
     assert strip_markdown_fences("SELECT 1") == "SELECT 1"
+
+
+def test_subquery_alias_does_not_excuse_table(spark):
+    """Bypass regression: a subquery alias named after a non-allowlisted
+    table must not legitimize reading that table. FROM (SELECT ...) secret
+    never produces UnresolvedRelation [secret] for the alias itself, so the
+    inner read of the real `secret` table must be caught."""
+    with pytest.raises(SqlValidationError, match="secret"):
+        validate_select(
+            spark, "SELECT * FROM (SELECT id FROM secret) secret", ALLOWED
+        )
+
+
+def test_subquery_alias_over_allowed_table_passes(spark):
+    v = validate_select(
+        spark, "SELECT * FROM (SELECT name FROM employees) employees", ALLOWED
+    )
+    assert v.tables == {"employees"}
+
+
+def test_cte_name_is_scoped_not_global(spark):
+    """A CTE defined inside one subquery must not excuse a same-named real
+    table referenced outside that subquery's scope."""
+    with pytest.raises(SqlValidationError, match="secret"):
+        validate_select(
+            spark,
+            "SELECT * FROM (WITH secret AS (SELECT 1 AS id) "
+            "SELECT * FROM secret) t JOIN secret s ON 1 = 1",
+            ALLOWED,
+        )
+
+
+def test_cte_shadowing_allowed_inside_scope(spark):
+    """Inside its scope a CTE name shadows the catalog — a CTE named like a
+    forbidden table is fine as long as only the CTE is read."""
+    v = validate_select(
+        spark,
+        "WITH secret AS (SELECT name FROM employees) SELECT * FROM secret",
+        ALLOWED,
+    )
+    assert v.tables == {"employees"}
+
+
+def test_sibling_cte_reference_passes(spark):
+    v = validate_select(
+        spark,
+        "WITH a AS (SELECT id FROM employees), "
+        "b AS (SELECT * FROM a) SELECT * FROM b",
+        ALLOWED,
+    )
+    assert v.tables == {"employees"}
+
+
+def test_with_prefixed_insert_rejected(spark):
+    """Starts with WITH (passes the text gate) but parses to an
+    InsertIntoStatement — the node allowlist must reject it."""
+    with pytest.raises(SqlValidationError, match="non-query"):
+        validate_select(
+            spark,
+            "WITH x AS (SELECT 1 AS a) INSERT INTO employees SELECT * FROM x",
+            ALLOWED,
+        )
+
+
+def test_scalar_subquery_relations_checked(spark):
+    with pytest.raises(SqlValidationError, match="secret"):
+        validate_select(
+            spark,
+            "SELECT (SELECT MAX(x) FROM secret) m FROM employees",
+            ALLOWED,
+        )
