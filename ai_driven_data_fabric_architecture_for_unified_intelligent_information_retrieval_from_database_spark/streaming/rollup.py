@@ -47,28 +47,42 @@ def maintain_daily_rollup(
     path: str,
     query_name: str = "daily_rollup",
     watermark: str = "1 hour",
+    checkpoint_path: str | None = None,
 ) -> None:
     """Drain the stream (availableNow) into the day/type-partitioned rollup
-    table, rewriting only the partitions whose aggregates changed."""
-    spark = events_stream.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    table, rewriting only the partitions whose aggregates changed.
+
+    Pass ``checkpoint_path`` to make successive drains actually incremental:
+    the streaming state (offsets + running aggregates) persists there, so a
+    later drain processes only new source data. Without it Spark uses a fresh
+    temp checkpoint per call — results are still correct, but each drain
+    reprocesses the entire source (O(history), not O(changed keys)).
+    """
     rollup = day_rollup(events_stream.withWatermark("ts", watermark))
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # Dynamic partition overwrite is scoped to this writer (not set on
+        # the shared session conf): each updated (day, event_type) key
+        # replaces exactly its own partition; a session-global setting would
+        # silently change the semantics of every later partitioned
+        # mode("overwrite") write on the same session.
         (
             batch_df.repartition("day", "event_type")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day", "event_type")
             .parquet(path)
         )
 
-    q = (
+    writer = (
         rollup.writeStream.outputMode("update")
         .foreachBatch(_upsert)
         .queryName(query_name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
     q.awaitTermination()
 
 

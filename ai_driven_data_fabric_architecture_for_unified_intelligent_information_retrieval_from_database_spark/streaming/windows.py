@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 from ..sources.catalog import register_views
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
     """readStream over the events table (schema from the batch catalog;
     streaming sources require an explicit schema). The TIMESTAMP(NANOS)
     conversion from the catalog applies identically.
@@ -31,13 +33,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file-stream source only accepts directories; the test corpus is a
     single parquet file, so stage a symlink directory for it (a real
     deployment points this at the landing directory / Kafka instead).
+    File-source offsets are tracked by path, so checkpointed incremental
+    consumers must pass a FIXED ``stage_dir`` across calls — a fresh temp
+    dir makes every drain see "new" files and reprocess history.
     """
     import tempfile
 
     register_views(spark, sf_dir)  # pins session confs (UTC, nanosAsLong)
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src).schema
-    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    else:
+        os.makedirs(stage_dir, exist_ok=True)
     link = os.path.join(stage_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)

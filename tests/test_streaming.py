@@ -178,3 +178,42 @@ def test_incremental_rollup_matches_batch(spark, events, tmp_path_factory):
         for r in ru.read_rollup(spark, path).collect()
     }
     assert got2 == want
+
+
+def test_rollup_checkpointed_drain_and_conf_not_leaked(spark, tmp_path_factory):
+    """With a checkpoint, a second drain over unchanged source processes no
+    data (incremental, O(changed keys)); and the drain must not leave
+    partitionOverwriteMode=dynamic set on the shared session conf."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.streaming import (
+        rollup as ru,
+    )
+
+    base = tmp_path_factory.mktemp("ruc")
+    path, ckpt = str(base / "daily"), str(base / "ckpt")
+    stage = str(base / "landing")  # fixed source dir: offsets are per-path
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+
+    ru.maintain_daily_rollup(
+        sw.events_stream(spark, SF_SMOKE, stage_dir=stage),
+        path, query_name="ru_ck1", checkpoint_path=ckpt,
+    )
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    assert after == before, "drain leaked partitionOverwriteMode into session conf"
+
+    got1 = {
+        (str(r.day), r.event_type, r.n_events, round(r.total_value, 6))
+        for r in ru.read_rollup(spark, path).collect()
+    }
+    assert len(got1) > 0
+
+    # same checkpoint, unchanged source: incremental drain sees zero new
+    # offsets and the table is untouched
+    ru.maintain_daily_rollup(
+        sw.events_stream(spark, SF_SMOKE, stage_dir=stage),
+        path, query_name="ru_ck2", checkpoint_path=ckpt,
+    )
+    got2 = {
+        (str(r.day), r.event_type, r.n_events, round(r.total_value, 6))
+        for r in ru.read_rollup(spark, path).collect()
+    }
+    assert got2 == got1
