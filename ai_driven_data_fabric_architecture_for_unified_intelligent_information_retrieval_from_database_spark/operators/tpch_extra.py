@@ -270,10 +270,10 @@ def tpch_q13(spark, t):
 @query(
     "tpch_q14_promo_revenue",
     oracle=f"""
-        SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                   THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
-                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-               / {sql_stable_sum('l.l_extendedprice * (1 - l.l_discount)')} AS promo_revenue
+        SELECT 100.0 * ({sql_stable_sum(
+            "CASE WHEN p.p_type = 'PROMO'"
+            " THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")})
+               / ({sql_stable_sum('l.l_extendedprice * (1 - l.l_discount)')}) AS promo_revenue
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -288,15 +288,13 @@ def tpch_q14(spark, t):
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     )
     p = t["part"]
-    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    zero = F.lit(0).cast("decimal(18,6)")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
             (
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)).cast("double")
-                / F.sum(disc).cast("double")
+                F.lit(100.0) * stable_sum(promo) / stable_sum(disc)
             ).alias("promo_revenue")
         )
     )

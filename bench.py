@@ -82,7 +82,11 @@ def _rechunk(sf_dir: str, target_row_groups: int = 32) -> str:
             continue
         tbl = pq.read_table(src)
         rows_per_group = max(tbl.num_rows // target_row_groups, 4096)
-        pq.write_table(tbl, dst, row_group_size=rows_per_group)
+        # Write-then-rename: a crash mid-write must not leave a truncated
+        # dst with a fresh mtime that the cache check above would then skip.
+        tmp = dst + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=rows_per_group)
+        os.replace(tmp, dst)
     return out_dir
 
 
@@ -94,16 +98,26 @@ def main() -> None:
     except Exception as exc:  # e.g. read-only /tmp — run on the originals
         print(f"rechunk skipped ({exc}); benchmarking original files",
               file=sys.stderr)
-    # Local-bench-only tuning: the re-chunked files are ~10 MB with ~350 KB
-    # row groups, so the 128 MB default split would still give one scan
-    # partition — small splits spread the row groups over the 32 cores. A
-    # real cluster keeps the defaults (row groups are ~128 MB there).
+    # Local-bench-only tuning, sized from the data: the re-chunked files
+    # carry ~32 row groups each, and a scan parallelizes across row groups
+    # only if the split size admits them — at sf0.1 the largest table is
+    # ~10 MB, where the 128 MB default split would give ONE scan partition
+    # and leave 31 cores idle. Target ~64 splits of the largest table,
+    # clamped to [256 KB, 128 MB]; a real cluster keeps the defaults
+    # (row groups are ~128 MB there). Shuffle partitions scale with input
+    # too (AQE coalesces the small cases at runtime).
+    largest = max(
+        (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)
+         if f.endswith(".parquet")),
+        default=10 * 1024 * 1024,
+    )
+    split = min(max(largest // 64, 256 * 1024), 128 * 1024 * 1024)
     spark = get_spark(
         app_name="fabric-bench",
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(256 * 1024),
-            "spark.sql.files.openCostInBytes": str(16 * 1024),
-            "spark.sql.shuffle.partitions": "16",
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.files.openCostInBytes": str(max(split // 16, 16 * 1024)),
+            "spark.sql.shuffle.partitions": "16" if largest < 64 * 1024 * 1024 else "64",
         },
     )
 
@@ -117,6 +131,11 @@ def main() -> None:
     # passes measure steady-state execution — the number that actually
     # extrapolates to a long-running cluster where plans compile once and
     # run for hours. Min-of-3 also damps scheduler jitter on a shared host.
+    # Adaptive pass count: min-of-3 exists to damp scheduler jitter, which
+    # is ±0.1 s — decisive on sub-second queries, noise once a single pass
+    # runs tens of seconds (and repeating a multi-minute quadratic
+    # ground-truth query would dominate the whole bench run).
+    pass_budget = float(os.environ.get("SPARK_GRAFT_PASS_BUDGET_S", "20"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
@@ -126,6 +145,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
+            if elapsed > pass_budget:
+                break
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Run the headline bench on BOTH engines across scale factors and emit the
+Spark/DuckDB ratio curve for BASELINE.md.
+
+The point (VERDICT.md round 1): at sf0.1 every query pays Spark's fixed
+per-query floor (~0.1-0.3 s of DAG scheduling + stage boundaries) against an
+in-process vectorized engine that finishes inside that floor — the 2x gate
+can only be judged where compute dominates the constant. This script
+measures where the ratio curve actually bends.
+
+Usage: python tools/scale_curve.py [sf_dir ...]
+Defaults to /root/testdata/sf0.1 /tmp/scaled/sf1 /tmp/scaled/sf5
+(generate the scaled dirs first with tools/make_scaled_sf.py).
+Writes scale_curve.json and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_json(cmd: list[str], env: dict | None = None) -> dict:
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=REPO, check=True
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        "/tmp/scaled/sf1",
+        "/tmp/scaled/sf5",
+    ]
+    results = []
+    for d in dirs:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=d)
+        spark = run_json([sys.executable, "bench.py"], env=env)
+        duck = run_json([sys.executable, "tools/bench_duckdb.py", d])
+        results.append({"sf_dir": d, "spark": spark, "duckdb": duck})
+        print(
+            f"# sf={spark['sf']}: spark={spark['value']}s "
+            f"duckdb={duck['value']}s ratio={spark['value']/duck['value']:.1f}x",
+            file=sys.stderr,
+        )
+
+    with open(os.path.join(REPO, "scale_curve.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+    # markdown: per-query ratios per sf
+    names = list(results[0]["spark"]["queries"])
+    sfs = [r["spark"]["sf"] for r in results]
+    head = "| query | " + " | ".join(
+        f"sf{sf} S / D / ratio" for sf in sfs
+    ) + " |"
+    print(head)
+    print("|" + "---|" * (len(sfs) + 1))
+    for n in names:
+        cells = []
+        for r in results:
+            s = r["spark"]["queries"].get(n)
+            d = r["duckdb"]["queries"].get(n)
+            if s is None or d is None:
+                cells.append("—")
+            else:
+                cells.append(f"{s:.2f} / {d:.3f} / {s/d:.1f}x")
+        print(f"| {n} | " + " | ".join(cells) + " |")
+    srow, drow = [], []
+    for r in results:
+        common = [q for q in r["spark"]["queries"] if q in r["duckdb"]["queries"]]
+        s = sum(r["spark"]["queries"][q] for q in common)
+        d = sum(r["duckdb"]["queries"][q] for q in common)
+        srow.append(f"{s:.2f} / {d:.2f} / {s/d:.1f}x")
+    print("| **suite (oracle-common)** | " + " | ".join(srow) + " |")
+
+
+if __name__ == "__main__":
+    main()
