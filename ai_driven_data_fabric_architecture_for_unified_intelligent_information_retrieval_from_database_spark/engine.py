@@ -103,6 +103,13 @@ class DataFabricEngine:
         self.spark = spark
         self.tables = set(tables) if tables else {default_table}
         self.default_table = default_table
+        if llm_provider is None:
+            # Reference posture (core/ai_query_generator.py:128-131): the
+            # LLM path turns on iff an API key is configured; otherwise the
+            # deterministic cascade handles everything.
+            from .plans.llm_provider import from_env
+
+            llm_provider = from_env(table=default_table)
         self.planner = Planner(table=default_table, llm_provider=llm_provider,
                                schema_text=self._schema_text(default_table))
         self.cache = TTLCache()
