@@ -33,6 +33,7 @@ def read_jdbc(
     *,
     user: str | None = None,
     password: str | None = None,
+    driver: str | None = None,
     partition_column: str | None = None,
     num_partitions: int = 8,
     lower_bound: int | None = None,
@@ -51,6 +52,8 @@ def read_jdbc(
         .option("dbtable", table)
         .option("fetchsize", str(fetch_size))
     )
+    if driver is not None:
+        reader = reader.option("driver", driver)
     if user is not None:
         reader = reader.option("user", user)
     if password is not None:
@@ -92,6 +95,171 @@ def read_table(
     if fmt == "csv":
         options.setdefault("header", "true")
     return reader.format(fmt).options(**options).load(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "error",
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """JDBC table writer (the engine's live-DB sink twin of
+    :func:`read_jdbc`). ``batchsize`` batches inserts — the distributed
+    upgrade of the reference's row-at-a-time cursor writes."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    if driver is not None:
+        writer = writer.option("driver", driver)
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    writer.save()
+
+
+# -- vendor introspection (reference parity: N8 over live databases) --------
+#
+# The reference probes table existence and structure per vendor
+# (core/management/commands/inspect_table.py:30-98: information_schema for
+# postgresql, SHOW TABLES/DESCRIBE for mysql, sqlite_master/PRAGMA for
+# sqlite). Spark's JDBC source takes a single pushed-down SQL text, so each
+# branch is expressed as the *query form* of the same probe (DESCRIBE and
+# bare PRAGMA are not SELECTs and cannot ride a JDBC subquery; their
+# information_schema / pragma_table_info() equivalents are).
+
+
+def vendor_from_url(url: str) -> str:
+    """JDBC vendor from the url scheme, e.g. jdbc:postgresql://... ."""
+    parts = url.split(":")
+    if len(parts) < 2 or parts[0] != "jdbc":
+        raise ValueError(f"not a JDBC url: {url!r}")
+    return parts[1].lower()
+
+
+def table_exists_sql(vendor: str, table: str) -> str:
+    """The reference's per-vendor existence probe, as a SELECT."""
+    t = table.replace("'", "''").lower()
+    if vendor == "postgresql":
+        return (
+            "SELECT COUNT(*) AS n FROM information_schema.tables "
+            f"WHERE table_name = '{t}'"
+        )
+    if vendor == "mysql":
+        return (
+            "SELECT COUNT(*) AS n FROM information_schema.tables "
+            f"WHERE table_name = '{t}' AND table_schema = DATABASE()"
+        )
+    if vendor == "sqlite":
+        return (
+            "SELECT COUNT(*) AS n FROM sqlite_master "
+            f"WHERE type='table' AND name = '{t}'"
+        )
+    raise ValueError(f"no existence probe for vendor {vendor!r}")
+
+
+def table_columns_sql(vendor: str, table: str) -> str:
+    """The reference's per-vendor structure probe, as a SELECT with
+    normalized output columns (column_name, data_type, is_nullable)."""
+    t = table.replace("'", "''").lower()
+    if vendor == "postgresql":
+        return (
+            "SELECT column_name, data_type, is_nullable "
+            "FROM information_schema.columns "
+            f"WHERE table_name = '{t}' ORDER BY ordinal_position"
+        )
+    if vendor == "mysql":  # DESCRIBE's queryable twin
+        return (
+            "SELECT column_name, data_type, is_nullable "
+            "FROM information_schema.columns "
+            f"WHERE table_name = '{t}' AND table_schema = DATABASE() "
+            "ORDER BY ordinal_position"
+        )
+    if vendor == "sqlite":  # PRAGMA table_info's queryable twin
+        return (
+            "SELECT name AS column_name, type AS data_type, "
+            "CASE WHEN \"notnull\" = 0 THEN 'YES' ELSE 'NO' END AS is_nullable "
+            f"FROM pragma_table_info('{t}')"
+        )
+    raise ValueError(f"no structure probe for vendor {vendor!r}")
+
+
+def inspect_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+) -> dict:
+    """Live-DB introspection: structure + row count for ``table`` at ``url``
+    (the JDBC twin of catalog.inspect_table).
+
+    Known vendors run the reference's metadata probes; any other vendor
+    (e.g. embedded Derby, used by the integration tests) falls back to the
+    JDBC driver's own ResultSetMetaData via Spark's schema — the probe every
+    compliant driver answers.
+    """
+
+    def _q(sql: str):
+        reader = spark.read.format("jdbc").option("url", url).option("query", sql)
+        if driver is not None:
+            reader = reader.option("driver", driver)
+        if user is not None:
+            reader = reader.option("user", user)
+        if password is not None:
+            reader = reader.option("password", password)
+        return reader.load()
+
+    vendor = vendor_from_url(url)
+    out: dict = {"table": table, "vendor": vendor}
+    try:
+        exists_probe = table_exists_sql(vendor, table)
+    except ValueError:
+        exists_probe = None
+
+    if exists_probe is not None:
+        out["exists"] = _q(exists_probe).head()[0] > 0
+        if not out["exists"]:
+            out["columns"] = []
+            out["row_count"] = 0
+            return out
+        cols = _q(table_columns_sql(vendor, table)).collect()
+        out["columns"] = [
+            {
+                "name": r["column_name"],
+                "type": r["data_type"],
+                "nullable": str(r["is_nullable"]).upper().startswith("Y"),
+            }
+            for r in cols
+        ]
+    else:  # generic vendor: the driver's ResultSetMetaData, via Spark
+        try:
+            schema = read_jdbc(
+                spark, url, table, user=user, password=password, driver=driver
+            ).load().schema
+        except Exception:
+            out["exists"] = False
+            out["columns"] = []
+            out["row_count"] = 0
+            return out
+        out["exists"] = True
+        out["columns"] = [
+            {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            for f in schema.fields
+        ]
+    out["row_count"] = _q(f"SELECT COUNT(*) AS n FROM {table}").head()[0]
+    return out
 
 
 #: Schema of the query-log sink — mirror of the reference's query_logs table
