@@ -61,6 +61,21 @@ def query(name: str, oracle: str | None, covers: str = ""):
     return deco
 
 
+def query_sfdir(name: str, oracle: str | None, covers: str = ""):
+    """Like :func:`query`, but the function receives ``(spark, sf_dir)``
+    directly — for operators that construct their own source from the data
+    directory (the streaming entries build a readStream, not a temp view).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, covers=covers)
+        return fn
+
+    return deco
+
+
 def queries() -> dict[str, QueryFn]:
     """Registered queries, oracle-backed entries first.
 
@@ -101,3 +116,4 @@ def _ensure_loaded() -> None:
     from . import multimodal  # noqa: F401
     from . import nl  # noqa: F401
     from . import relational  # noqa: F401
+    from . import streaming_entries  # noqa: F401

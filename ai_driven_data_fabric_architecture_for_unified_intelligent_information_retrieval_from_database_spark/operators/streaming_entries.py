@@ -1,0 +1,155 @@
+"""Registry entries for the Structured Streaming operators (SURVEY.md §2.9).
+
+Each entry drains the streaming plan over the static events corpus with
+Trigger.AvailableNow and returns the materialized result — so the driver's
+correctness gate exercises the REAL streaming engine (state store,
+watermarks, output modes), not a batch re-expression. Over static input the
+drain is deterministic and equals the batch semantics, which is what makes
+an exact SQL oracle legitimate (the repo's batch/stream equivalence tests,
+tests/test_streaming.py, prove the same property).
+
+Output timestamps are cast back to TIMESTAMP_NTZ after materialization:
+watermarks require TIMESTAMP columns inside the stream, but the oracle
+comparison is wall-clock under the pinned UTC session, where the cast is
+exact.
+
+Unique memory-sink names per entry avoid collisions; AvailableNow queries
+terminate, so repeated invocations can reuse them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.numerics import sql_stable_sum, stable_sum
+from ..streaming import rollup as ru
+from ..streaming import windows as sw
+from .registry import query_sfdir
+
+
+def _ntz(df: DataFrame, *cols: str) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return out
+
+
+@query_sfdir(
+    "streaming_tumbling_hourly",
+    oracle=f"""
+        SELECT DATE_TRUNC('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               {sql_stable_sum('value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    covers="2.9 streaming tumbling window (watermark + F.window, complete mode)",
+)
+def streaming_tumbling_hourly(spark, sf_dir):
+    """Hourly tumbling aggregate computed BY THE STREAMING ENGINE (state
+    store + watermark), drained with AvailableNow — the always-on form of
+    events_tumbling_window."""
+    ev = sw.events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            stable_sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return _ntz(sw.run_available_now(agg, "reg_stream_tumbling"), "window_start")
+
+
+@query_sfdir(
+    "streaming_sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                             > 1800000000
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    covers="2.9 streaming sessionization (native session_window, state-store merged)",
+)
+def streaming_sessionize(spark, sf_dir):
+    """Gap-based sessions via the native streaming ``session_window``
+    operator. Spark defines a session's end as last-event + gap; the oracle
+    reproduces that from the lag-gap ground truth (MAX(ts) + 30 min)."""
+    ev = sw.events_stream(spark, sf_dir)
+    out = sw.run_available_now(sw.session_counts(ev), "reg_stream_sessions")
+    return _ntz(out, "session_start", "session_end")
+
+
+@query_sfdir(
+    "streaming_view_purchase_join",
+    oracle="""
+        SELECT v.user_id AS v_user,
+               v.ts AS view_ts,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    covers="2.9 streaming stream-stream join (dual watermark, time-bounded state)",
+)
+def streaming_view_purchase_join(spark, sf_dir):
+    """Stream-stream inner join (purchase attributed to prior-hour views of
+    the same user): both sides watermarked, event-time-bounded join state."""
+    ev = sw.events_stream(spark, sf_dir)
+    out = sw.run_available_now(
+        sw.view_purchase_conversions(ev), "reg_stream_vp_join", output_mode="append"
+    )
+    return _ntz(out, "view_ts", "purchase_ts")
+
+
+@query_sfdir(
+    "streaming_daily_rollup",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    covers="2.9 incrementally-maintained materialized rollup (update mode + dynamic partition overwrite)",
+)
+def streaming_daily_rollup(spark, sf_dir):
+    """The maintained daily rollup TABLE, as materialized by the streaming
+    update-mode drain through foreachBatch dynamic-partition overwrite —
+    the correctness gate reads what landed on disk, end to end."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="reg_rollup_") + "/daily"
+    ru.maintain_daily_rollup(
+        sw.events_stream(spark, sf_dir), path, query_name="reg_stream_rollup"
+    )
+    out = ru.read_rollup(spark, path).select(
+        F.col("day").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return out
