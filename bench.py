@@ -112,12 +112,26 @@ def main() -> None:
         default=10 * 1024 * 1024,
     )
     split = min(max(largest // 64, 256 * 1024), 128 * 1024 * 1024)
+    # Broadcast capacity scales with executor memory; this bench runs one
+    # big-heap JVM, so dimensions that outgrow the 10 MB default (customer
+    # is ~25 MB at sf10) should still broadcast rather than force a
+    # fact-side shuffle (join_star at sf10: 36 s shuffled vs 10 s
+    # broadcast). Capped at 64 MB: the driver builds the broadcast hash
+    # relation single-threaded. Clamped so sf0.1 behavior is unchanged.
+    bcast = min(max(largest // 16, 10 * 1024 * 1024), 64 * 1024 * 1024)
     spark = get_spark(
         app_name="fabric-bench",
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(max(split // 16, 16 * 1024)),
             "spark.sql.shuffle.partitions": "16" if largest < 64 * 1024 * 1024 else "64",
+            "spark.sql.autoBroadcastJoinThreshold": str(bcast),
+            # 32 executor threads share ONE local JVM; the session default
+            # (8g) is tight past ~sf5, but the heap must stay under 32g so
+            # compressed oops survive (a 64g heap measured 10x SLOWER:
+            # q1 at sf10 72 s vs 7 s). DuckDB's memory is equally
+            # unconstrained, so this is parity, not an advantage.
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
         },
     )
 
@@ -136,8 +150,18 @@ def main() -> None:
     # runs tens of seconds (and repeating a multi-minute quadratic
     # ground-truth query would dominate the whole bench run).
     pass_budget = float(os.environ.get("SPARK_GRAFT_PASS_BUDGET_S", "20"))
+    # Explicit opt-out for individual queries (comma-separated), used by the
+    # scale-curve runner to cap the quadratic ground-truth ops at the sf
+    # where they have already crossed below the DuckDB baseline.
+    skip = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
+        if s.strip()
+    }
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in skip:
+            continue
         best = None
         for _ in range(3):
             df = qs[name](spark, sf_dir)

@@ -44,9 +44,14 @@ def main() -> None:
     # Same adaptive pass rule as bench.py: jitter-damping repeats only
     # matter on sub-second queries.
     pass_budget = float(os.environ.get("SPARK_GRAFT_PASS_BUDGET_S", "20"))
+    skip = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
+        if s.strip()
+    }
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in osql:  # rows-only entries (no SQL oracle) are skipped
+        if name not in osql or name in skip:
             continue
         best = None
         for _ in range(3):

@@ -37,11 +37,25 @@ def main() -> None:
         "/tmp/scaled/sf1",
         "/tmp/scaled/sf5",
     ]
+    load = os.getloadavg()[0]
+    if load > 2.0:
+        print(
+            f"WARNING: 1-min load average is {load:.1f} — another process "
+            "(often a lingering Spark JVM from a killed run) will contaminate "
+            "the timings. Wait for it or kill it first.",
+            file=sys.stderr,
+        )
     results = []
     for d in dirs:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=d)
+        # The quadratic ground-truth ops (all-pairs-in-hot-shingles jaccard)
+        # cost >10 min PER ENGINE past sf1; they are measured through sf1 —
+        # where Spark is already below the DuckDB baseline — and skipped
+        # beyond, transparently (absent from both engines' query maps).
+        if d.rsplit("sf", 1)[-1].replace(".", "").isdigit() and float(d.rsplit("sf", 1)[-1]) > 1:
+            env["SPARK_GRAFT_BENCH_SKIP"] = "dedup_ngram_jaccard"
         spark = run_json([sys.executable, "bench.py"], env=env)
-        duck = run_json([sys.executable, "tools/bench_duckdb.py", d])
+        duck = run_json([sys.executable, "tools/bench_duckdb.py", d], env=env)
         results.append({"sf_dir": d, "spark": spark, "duckdb": duck})
         print(
             f"# sf={spark['sf']}: spark={spark['value']}s "
