@@ -128,23 +128,43 @@ def tpch_q3(spark, t):
     covers="TPC-H Q5 shape: six-way join with compound join condition",
 )
 def tpch_q5(spark, t):
-    """Local-supplier volume: the compound l_suppkey+nationkey condition
-    forces a genuine multi-way plan; supplier/nation/region are broadcast."""
+    """Local-supplier volume. Join order is chosen for shuffle volume: the
+    region restriction reaches lineitem through a broadcast join with the
+    ASIA-only supplier slice *before* the l_orderkey shuffle, so the one big
+    exchange carries ~1/|regions| of lineitem instead of all of it. The
+    compound c_nationkey = s_nationkey condition then rides the customer
+    join. Same result set as the naive order (oracle unchanged)."""
     c, o, l = t["customer"], t["orders"], t["lineitem"]
     s, n, r = t["supplier"], t["nation"], t["region"]
     o = o.where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
     )
+    # Tiny dim chain: ASIA nations (keys + names), then the ASIA supplier slice.
+    asia_n = n.join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s_asia = s.join(
+        F.broadcast(asia_n), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    # Cut lineitem ~5x BEFORE the orderkey shuffle; carry s_nationkey/n_name.
+    l_asia = l.join(F.broadcast(s_asia), l.l_suppkey == s_asia.s_suppkey)
+    c_asia = c.join(
+        F.broadcast(asia_n.select("n_nationkey")),
+        c.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
+    # Small shuffle first (orders x ASIA customers on custkey), then the one
+    # orderkey shuffle carries only the ASIA-supplier lineitem slice.
+    oc = o.join(c_asia, o.o_custkey == c_asia.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .join(
-            F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        l_asia.join(
+            oc,
+            (F.col("l_orderkey") == oc.o_orderkey)
+            & (oc.c_nationkey == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
