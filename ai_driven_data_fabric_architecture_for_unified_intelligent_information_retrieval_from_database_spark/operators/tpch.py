@@ -84,21 +84,27 @@ def tpch_q1(spark, t):
 )
 def tpch_q3(spark, t):
     """Unshipped-orders revenue top-10. Filters cut both fact sides before
-    the joins; final top-k is TakeOrderedAndProject over the grouped rows."""
+    the joins, and the revenue aggregation is pushed BELOW the join: since
+    l_orderkey functionally determines o_orderdate, grouping lineitem by
+    orderkey first is equivalent to grouping the join result — but the
+    pre-aggregate gets a map-side partial combine, so the orderkey shuffle
+    carries one row per order instead of every matching lineitem. Final
+    top-k is TakeOrderedAndProject over the joined rollup."""
     c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
     o = t["orders"].where(
         F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
     )
-    l = t["lineitem"].where(
-        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
-    )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate")
+    lagg = (
+        t["lineitem"]
+        .where(F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_orderkey")
         .agg(
             stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(lagg, F.col("l_orderkey") == o.o_orderkey)
         .select(
             "l_orderkey",
             "revenue",

@@ -46,21 +46,37 @@ def _year(col):
 )
 def tpch_q4(spark, t):
     """Priority distribution of slow-shipping orders (adapted: ship lag >90d
-    stands in for the missing commit/receipt dates). The EXISTS compiles to
-    a left-semi join — the fact side never duplicates rows, so the count is
-    per-order regardless of how many lineitems matched.
+    stands in for the missing commit/receipt dates).
+
+    The EXISTS is evaluated against a per-orderkey MAX(l_shipdate) rollup
+    instead of a raw semi join: ``EXISTS(l_shipdate > bound)`` is exactly
+    ``MAX(l_shipdate) > bound``, and the pre-aggregation gets a map-side
+    partial combine, so the orderkey shuffle carries one 16-byte row per
+    order instead of every matching lineitem. Two derived facts Catalyst
+    cannot infer across the non-equi condition are applied by hand:
+    ``o_orderdate >= 1997-01-01`` implies matching lineitems have
+    ``l_shipdate > 1997-04-01`` (the +90d lower bound), which prunes most
+    of the lineitem scan before the aggregate. The rollup is 1 row per
+    orderkey, so the inner join cannot duplicate orders and the grouped
+    count stays per-order.
     """
     o = t["orders"].where(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
     )
-    l = t["lineitem"]
+    lmax = (
+        t["lineitem"]
+        .where(
+            F.col("l_shipdate") > F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_shipdate"))
+    )
     return (
         o.join(
-            l,
-            (l.l_orderkey == o.o_orderkey)
-            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
-            "semi",
+            lmax,
+            (lmax.l_orderkey == o.o_orderkey)
+            & (lmax.max_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
