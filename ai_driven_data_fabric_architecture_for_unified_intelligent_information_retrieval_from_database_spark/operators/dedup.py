@@ -324,3 +324,67 @@ def dedup_simhash(spark, t):
         .select("a_id", "b_id", hamming.alias("hamming"))
         .where(F.col("hamming") <= HAMMING_MAX)
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id, label, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8
+                 + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4
+                 + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2
+                 + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+            FROM embeddings
+        ),
+        dropped AS (
+            SELECT DISTINCT c.vec_id
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+                                         c.embedding::DOUBLE[]) >= 0.3
+        )
+        SELECT e.vec_id, e.label,
+               e.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
+        FROM embeddings e
+    """,
+    covers="pipeline: embedding-cosine near-dup removal (LSH-bucketed, keep-first)",
+)
+def dedup_embedding_cosine(spark, t):
+    """Embedding-space near-duplicate removal with keep-first policy: a
+    vector is dropped when a same-LSH-bucket vector with a smaller id is
+    within cosine >= 0.3. The candidate join is the sign-hyperplane bucket
+    equi-join (similarity.py) — ~1/16 of the corpus per side, never
+    all-pairs — so the shape survives an unbounded corpus; cross-bucket
+    near-dups are the documented LSH recall trade (probing = flipping sign
+    bits). The final verdict is a left-anti-style mark join against the
+    (small) dropped-id set, not a filter, so downstream pipelines can audit
+    what was removed."""
+    from .similarity import cosine_expr
+
+    e = t["embeddings"]
+    bit = lambda i, w: (
+        F.when(F.element_at("embedding", i) >= 0, 1).otherwise(0) * w
+    )
+    b = e.select(
+        "vec_id",
+        "embedding",
+        (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).alias("bucket"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    dropped = (
+        a.join(c, "bucket")
+        .where(F.col("a_id") < F.col("c_id"))
+        .where(cosine_expr("a_emb", "c_emb") >= 0.3)
+        .select(F.col("c_id").alias("dropped_id"))
+        .distinct()
+    )
+    return e.join(
+        dropped, e.vec_id == F.col("dropped_id"), "left"
+    ).select(
+        "vec_id", "label", F.col("dropped_id").isNull().alias("is_kept")
+    )
