@@ -112,11 +112,36 @@ def test_whole_stage_codegen_covers_q1(spark):
     assert "WholeStageCodegen" in plan, plan[:1500]
 
 
-def test_q4_exists_compiles_to_single_semi_join(spark):
-    """The EXISTS is ONE semi join with the mixed-side ship-lag condition —
-    no materialized distinct key set, no row duplication before the count."""
+def test_q4_exists_is_preaggregated_max_rollup(spark):
+    """The EXISTS is answered by a per-orderkey MAX(l_shipdate) rollup, so
+    the orderkey exchange gets a map-side partial combine (one row per
+    order, not every lineitem), and the hand-derived +90d lower bound must
+    reach the lineitem scan as a pushed filter."""
     plan = plan_of(spark, "tpch_q4_order_priority")
-    assert "LeftSemi" in plan, plan[:2000]
+    assert "partial_max" in plan, plan[:2000]
+    assert "GreaterThan(l_shipdate,1997-04-01" in plan, plan[:2000]
+
+
+def test_q3_aggregates_below_the_join(spark):
+    """Revenue is pre-aggregated per orderkey BELOW the join (partial_sum
+    before the exchange) and the top-10 stays TakeOrderedAndProject."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "partial_sum" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_q5_single_big_shuffle_join(spark):
+    """Exactly one shuffle join (the orderkey exchange); every dim and the
+    ASIA supplier/customer restrictions arrive by broadcast, so the one
+    big exchange carries only the ASIA slice of lineitem."""
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    # formatted output repeats each node in the detail section; count the
+    # tree section only
+    tree = plan.split("\n\n")[0]
+    n_shuffle_joins = tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin")
+    assert n_shuffle_joins <= 1, tree
+    assert "LeftSemi" in plan, plan[:2500]  # ASIA customer prefilter
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2500]
 
 
 def test_q22_not_exists_is_anti_join_with_broadcast_scalar(spark):
