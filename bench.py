@@ -98,6 +98,15 @@ def main() -> None:
     except Exception as exc:  # e.g. read-only /tmp — run on the originals
         print(f"rechunk skipped ({exc}); benchmarking original files",
               file=sys.stderr)
+    # Warm the OS page cache: when the rechunk is already cached the inputs
+    # are never read before timing, and a cold first pass measures disk, not
+    # the engine (observed 10x swings on an evicted cache). One sequential
+    # read per file; both engines benefit identically.
+    for fname in os.listdir(sf_dir):
+        if fname.endswith(".parquet"):
+            with open(os.path.join(sf_dir, fname), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
     # Local-bench-only tuning, sized from the data: the re-chunked files
     # carry ~32 row groups each, and a scan parallelizes across row groups
     # only if the split size admits them — at sf0.1 the largest table is

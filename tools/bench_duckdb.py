@@ -32,6 +32,12 @@ def main() -> None:
     sf_dir = sys.argv[1]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_dir = _rechunk(sf_dir)
+    # Same page-cache warm as bench.py: a cold first pass measures disk.
+    for fname in os.listdir(sf_dir):
+        if fname.endswith(".parquet"):
+            with open(os.path.join(sf_dir, fname), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
     con = duckdb.connect()
     con.execute("SET timezone='UTC'")
