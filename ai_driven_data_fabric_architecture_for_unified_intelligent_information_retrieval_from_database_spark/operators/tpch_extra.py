@@ -265,20 +265,23 @@ def tpch_q10(spark, t):
     covers="TPC-H Q13 shape: outer join with join-time predicate, two-level aggregation",
 )
 def tpch_q13(spark, t):
-    """Distribution of customers by non-urgent order count. The priority
-    filter is part of the LEFT JOIN condition (not a WHERE) — customers with
-    only urgent orders must still appear with count 0. Second aggregation is
-    tiny (distinct counts), so the plan cost is one fact shuffle.
+    """Distribution of customers by non-urgent order count. Customers with
+    only urgent orders must still appear with count 0, so the reference
+    LEFT JOIN carries the priority filter in the join condition; here the
+    orders side is pre-aggregated to (custkey, count) BEFORE the join —
+    equivalent, but the map-side partial combine means the custkey shuffle
+    carries one row per customer instead of every order (~10x at TPC-H
+    fan-out), and the left join + COALESCE(0) restores the zero-order
+    customers. Second aggregation is tiny (distinct counts).
     """
     c, o = t["customer"], t["orders"]
-    per_cust = (
-        c.join(
-            o,
-            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
-            "left",
-        )
-        .groupBy(c.c_custkey)
-        .agg(F.count("o_orderkey").alias("c_count"))
+    oc = (
+        o.where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    per_cust = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count")
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
