@@ -107,6 +107,7 @@ def _ensure_loaded() -> None:
     """
     from . import tpch  # noqa: F401
     from . import tpch_extra  # noqa: F401
+    from . import tpch_missing  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import events  # noqa: F401
