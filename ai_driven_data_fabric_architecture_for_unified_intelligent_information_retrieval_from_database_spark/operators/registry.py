@@ -37,6 +37,54 @@ class RegisteredQuery:
 
 REGISTRY: dict[str, RegisteredQuery] = {}
 
+#: Names promoted to the FRONT of :func:`queries` for the current round.
+#:
+#: External correctness harnesses sample a ~50-entry prefix of the registry
+#: per round; this list rotates that window so every entry eventually gets a
+#: hard driver-side differential check (the local suite in
+#: tests/test_oracle_parity.py covers all oracle-backed entries every run
+#: regardless).  Round-window history lives in README.md ("Correctness window
+#: rotation").
+#:
+#: Round 3 window: the 22 entries never sampled in rounds 1-2, plus
+#: agg_approx_sketches (round-1 ``no_oracle`` err since fixed — re-prove),
+#: the re-parameterized sign-LSH entries, and the new round-3 operators.
+#: Names not yet registered are skipped harmlessly.
+SAMPLE_PRIORITY: list[str] = [
+    # never driver-sampled in r01/r02
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_shingle_stats",
+    "text_bpe_token_estimate",
+    "text_fuzzy_name_pairs",
+    "skew_salted_group_count",
+    "skew_salted_join",
+    "sampling_deterministic_split",
+    "multimodal_byte_stats",
+    "multimodal_chunking",
+    "multimodal_decode_features",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "array_functions_embeddings",
+    "window_ntile_percent_rank",
+    "window_first_last_value",
+    "agg_string_concat_per_group",
+    "set_union_by_name",
+    "streaming_tumbling_hourly",
+    "streaming_sessionize",
+    "streaming_view_purchase_join",
+    "streaming_daily_rollup",
+    # r01 err=no_oracle, oracle added in r02 — needs one green driver row
+    "agg_approx_sketches",
+    # re-parameterized this round (corpus-scaled sign-LSH) — re-verify
+    "similarity_sign_lsh_buckets",
+    "similarity_bucketed_ann",
+    "dedup_embedding_cosine",
+    # new in round 3
+    "streaming_dedup_watermark",
+    "partition_pruned_daily_read",
+]
+
 
 def query(name: str, oracle: str | None, covers: str = ""):
     """Decorator: register ``fn(spark, tables) -> DataFrame`` under ``name``.
@@ -77,16 +125,23 @@ def query_sfdir(name: str, oracle: str | None, covers: str = ""):
 
 
 def queries() -> dict[str, QueryFn]:
-    """Registered queries, oracle-backed entries first.
+    """Registered queries, this round's :data:`SAMPLE_PRIORITY` window first.
 
-    Harnesses that sample a prefix of this dict get the hash-checkable
-    entries before the rows-only ones (LSH recall ops have no SQL oracle by
-    nature); within each group the deliberate module registration order of
-    :func:`_ensure_loaded` is preserved.
+    Harnesses that sample a prefix of this dict see the current rotation
+    window (never-yet-driver-verified entries) before everything else; the
+    remainder keeps oracle-backed entries before rows-only ones, preserving
+    the module registration order of :func:`_ensure_loaded` within each
+    group.
     """
     _ensure_loaded()
+    prio = {name: i for i, name in enumerate(SAMPLE_PRIORITY)}
     ordered = sorted(
-        enumerate(REGISTRY.values()), key=lambda p: (p[1].oracle is None, p[0])
+        enumerate(REGISTRY.values()),
+        key=lambda p: (
+            prio.get(p[1].name, len(prio)),
+            p[1].oracle is None,
+            p[0],
+        ),
     )
     return {rq.name: rq.fn for _, rq in ordered}
 
