@@ -33,6 +33,15 @@ from .sources.catalog import inspect_table
 CACHE_TTL_SECONDS = 300
 CACHE_MAX_ENTRIES = 1000
 
+#: Hard cap on rows materialized at the driver per query. The deterministic
+#: cascade always emits a LIMIT, but the LLM path executes *validated
+#: arbitrary SELECTs* and the validator (correctly) does not require one —
+#: without a cap, a validated ``SELECT * FROM lineitem`` is an unbounded
+#: driver collect. Engine-side twin of the reference's prompt rule 9
+#: ("limit results to reasonable numbers",
+#: core/ai_query_generator.py:110).
+MAX_RESULT_ROWS = 10_000
+
 
 @dataclass
 class QueryLogEntry:
@@ -99,6 +108,7 @@ class DataFabricEngine:
         llm_provider=None,
         log_sink_path: str | None = None,
         use_star_rules: bool = True,
+        max_result_rows: int = MAX_RESULT_ROWS,
     ):
         self.spark = spark
         self.tables = set(tables) if tables else {default_table}
@@ -110,6 +120,11 @@ class DataFabricEngine:
             from .plans.llm_provider import from_env
 
             llm_provider = from_env(table=default_table)
+        elif llm_provider is False:
+            # Explicit off: never read the environment, never make network
+            # calls — distinct from None="from env", so offline/test runs
+            # can't be flipped live by a leaked OPENROUTER_API_KEY.
+            llm_provider = None
         self.planner = Planner(table=default_table, llm_provider=llm_provider,
                                schema_text=self._schema_text(default_table))
         self.cache = TTLCache()
@@ -120,6 +135,7 @@ class DataFabricEngine:
         #: default — inert unless the star tables are in the allowlist, and
         #: employee questions always fall through to the reference cascade.
         self.use_star_rules = use_star_rules
+        self.max_result_rows = max_result_rows
 
     # -- schema context (replaces per-request introspection, SURVEY 7.2) ----
     def _schema_text(self, table: str) -> str:
@@ -173,6 +189,7 @@ class DataFabricEngine:
                 "data": exec_result["data"],
                 "columns": exec_result["columns"],
                 "row_count": exec_result["row_count"],
+                "truncated": exec_result.get("truncated", False),
             }
             if not exec_result["success"]:
                 response["error"] = exec_result.get("error", "Unknown error")
@@ -213,20 +230,28 @@ class DataFabricEngine:
 
     def _execute(self, sql: str) -> dict[str, Any]:
         """Execute validated SQL via Catalyst; serialize with the compat
-        coercions. Collect is bounded: every planner branch emits a LIMIT
-        or aggregates to a handful of rows (the reference's own guardrail,
-        prompt rule 9)."""
+        coercions. The collect is HARD-bounded at ``max_result_rows`` via
+        ``limit(cap + 1)`` — the deterministic cascade emits its own
+        LIMITs, but the LLM path runs validated arbitrary SELECTs, and an
+        unbounded collect there OOMs the driver at scale. One sentinel row
+        past the cap distinguishes "exactly cap rows" from truncation,
+        reported via the ``truncated`` flag."""
         try:
             start = time.time()
+            cap = self.max_result_rows
             df = self.spark.sql(sql)
             columns = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            rows = [tuple(r) for r in df.limit(cap + 1).collect()]
+            truncated = len(rows) > cap
+            if truncated:
+                rows = rows[:cap]
             data = serialize_rows(columns, rows)
             return {
                 "success": True,
                 "data": data,
                 "columns": columns,
                 "row_count": len(data),
+                "truncated": truncated,
                 "execution_time": time.time() - start,
             }
         except Exception as exc:

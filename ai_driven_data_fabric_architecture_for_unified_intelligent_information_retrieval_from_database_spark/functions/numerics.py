@@ -25,12 +25,18 @@ be exercised and both engines recover the same integer. The final
 sequence in both engines, hence bitwise-equal output.
 
 Range: a group's total must stay under 2^63 micro-units ≈ 9.2e12 in value
-units ($9.2 trillion). For this corpus that bound is reached only past
-~sf200 on a *global* revenue sum. Beyond it use :func:`stable_sum_wide` —
-the decimal(18,6) form (exact to 1e22, ~1.6x slower) — which is also the
-right choice when the input scale is unknown. Both forms are the same
-engineering decision at 100 TB: money totals must not depend on partition
-count or retry order.
+units ($9.2 trillion). For this corpus, global extended-price revenue is
+≈ 2.3e11 per scale-factor unit, so a *global* stable_sum hits the cap near
+**sf40** (per-Q1-group sums, which split the corpus ~4-6 ways, near
+sf75-160). Under ANSI mode (the Spark 4 default, on in this engine's
+sessions) long-SUM overflow raises; with ``spark.sql.ansi.enabled=false``
+it wraps silently to a wrong total — so past those scales switch to
+:func:`stable_sum_wide` — the decimal(18,6) form
+(exact to 1e22, ~1.6x slower) — which is also the right choice when the
+input scale is unknown. :func:`assert_microunit_headroom` turns the bound
+into a cheap runtime check (COUNT x MAX|x| against 2^63). Both forms are
+the same engineering decision at 100 TB: money totals must not depend on
+partition count or retry order.
 """
 
 from __future__ import annotations
@@ -87,6 +93,31 @@ def stable_avg_wide(col: Column | str, decimal_type: str = _SUM_DECIMAL) -> Colu
     """Decimal-accumulator form of :func:`stable_avg`."""
     c = _col(col)
     return F.sum(c.cast(decimal_type)).cast("double") / F.count(c)
+
+
+def assert_microunit_headroom(df, col: Column | str, scale: int = _SCALE) -> float:
+    """Cheap overflow guard for :func:`stable_sum`: verifies that even the
+    worst case — every row at the column's max magnitude summed into ONE
+    group — stays under 2^63 micro-units, and returns the headroom ratio
+    (bound / worst-case; >1 means safe).
+
+    One COUNT+MAX aggregate over ``df`` (no shuffle of the data itself).
+    Raises ``OverflowError`` when the worst case could exceed the long
+    range, pointing at :func:`stable_sum_wide`.
+    """
+    c = _col(col)
+    row = df.agg(
+        F.count(c).alias("n"), F.max(F.abs(c)).alias("m")
+    ).head()
+    n, m = (row["n"] or 0), float(row["m"] or 0.0)
+    worst = n * m * (10**scale)
+    bound = float(2**63 - 1)
+    if worst >= bound:
+        raise OverflowError(
+            f"stable_sum micro-unit range exceeded: {n} rows x max|x|={m} "
+            f"at scale {scale} -> {worst:.3e} >= 2^63; use stable_sum_wide"
+        )
+    return bound / worst if worst else float("inf")
 
 
 def sql_stable_sum(expr: str, scale: int = _SCALE) -> str:

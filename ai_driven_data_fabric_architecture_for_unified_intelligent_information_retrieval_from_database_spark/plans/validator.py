@@ -209,8 +209,28 @@ def validate_select(
         m = _BRACKET_RE.search(node.rest)
         if not m:
             continue
-        # UnresolvedRelation [db, table] or [table]
-        name = m.group(1).split(",")[-1].strip().lower()
+        # UnresolvedRelation prints its multipart name as [part, part, ...]:
+        # [table], [db, table], or a file-source relation like
+        # [parquet, /some/path]. Matching only the last segment would let
+        # `db.employees` / `parquet.`/x,employees`` impersonate an
+        # allowlisted `employees` while reading a different catalog or
+        # file — so a multipart name must be allowlisted as its FULL
+        # dotted form, and a single-part name must be a plain identifier
+        # (CTE names always are, so scope resolution is unaffected).
+        parts = [p.strip() for p in m.group(1).split(",")]
+        full = ".".join(p.lower() for p in parts)
+        if full in allowed_lower:
+            tables.add(full)
+            continue
+        if len(parts) > 1:
+            raise SqlValidationError(
+                f"multipart relation name not allowlisted: {full!r}"
+            )
+        name = parts[0].lower()
+        if not re.fullmatch(r"[a-z_][a-z0-9_]*", name):
+            raise SqlValidationError(
+                f"relation name is not a plain identifier: {name!r}"
+            )
         in_cte_scope = any(
             start <= node.index <= end and name in names for start, end, names in scopes
         )

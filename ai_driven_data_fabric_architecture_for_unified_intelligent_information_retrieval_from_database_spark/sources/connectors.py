@@ -19,6 +19,8 @@ Lakehouse formats (Delta/Iceberg/Hudi) need jars absent from this image;
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -146,45 +148,67 @@ def vendor_from_url(url: str) -> str:
     return parts[1].lower()
 
 
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
+def _safe_identifier(table: str) -> str:
+    """Reject table names that are not plain (optionally schema-qualified)
+    identifiers — the probes interpolate them into SQL text, and quoting
+    rules differ per vendor (backticks vs double quotes), so validation is
+    the portable defense."""
+    if not _IDENT_RE.fullmatch(table):
+        raise ValueError(f"not a plain SQL identifier: {table!r}")
+    return table
+
+
 def table_exists_sql(vendor: str, table: str) -> str:
-    """The reference's per-vendor existence probe, as a SELECT."""
-    t = table.replace("'", "''").lower()
+    """The reference's per-vendor existence probe, as a SELECT.
+
+    Matching is case-insensitive on the PROBE side (``LOWER(table_name) =
+    '<lower>'``) rather than by lowercasing the stored literal — vendors
+    with case-sensitive catalogs (MySQL on Linux, quoted Postgres
+    identifiers) store mixed-case names that a lowercased equality would
+    falsely report as absent.
+    """
+    t = _safe_identifier(table).replace("'", "''").lower()
     if vendor == "postgresql":
         return (
             "SELECT COUNT(*) AS n FROM information_schema.tables "
-            f"WHERE table_name = '{t}'"
+            f"WHERE LOWER(table_name) = '{t}'"
         )
     if vendor == "mysql":
         return (
             "SELECT COUNT(*) AS n FROM information_schema.tables "
-            f"WHERE table_name = '{t}' AND table_schema = DATABASE()"
+            f"WHERE LOWER(table_name) = '{t}' AND table_schema = DATABASE()"
         )
     if vendor == "sqlite":
         return (
             "SELECT COUNT(*) AS n FROM sqlite_master "
-            f"WHERE type='table' AND name = '{t}'"
+            f"WHERE type='table' AND LOWER(name) = '{t}'"
         )
     raise ValueError(f"no existence probe for vendor {vendor!r}")
 
 
 def table_columns_sql(vendor: str, table: str) -> str:
     """The reference's per-vendor structure probe, as a SELECT with
-    normalized output columns (column_name, data_type, is_nullable)."""
-    t = table.replace("'", "''").lower()
+    normalized output columns (column_name, data_type, is_nullable).
+    Case-insensitive on the probe side, like :func:`table_exists_sql`."""
+    t = _safe_identifier(table).replace("'", "''").lower()
     if vendor == "postgresql":
         return (
             "SELECT column_name, data_type, is_nullable "
             "FROM information_schema.columns "
-            f"WHERE table_name = '{t}' ORDER BY ordinal_position"
+            f"WHERE LOWER(table_name) = '{t}' ORDER BY ordinal_position"
         )
     if vendor == "mysql":  # DESCRIBE's queryable twin
         return (
             "SELECT column_name, data_type, is_nullable "
             "FROM information_schema.columns "
-            f"WHERE table_name = '{t}' AND table_schema = DATABASE() "
+            f"WHERE LOWER(table_name) = '{t}' AND table_schema = DATABASE() "
             "ORDER BY ordinal_position"
         )
-    if vendor == "sqlite":  # PRAGMA table_info's queryable twin
+    if vendor == "sqlite":  # PRAGMA table_info's queryable twin; pragma
+        # lookup is itself case-insensitive, keep the literal as given
         return (
             "SELECT name AS column_name, type AS data_type, "
             "CASE WHEN \"notnull\" = 0 THEN 'YES' ELSE 'NO' END AS is_nullable "
@@ -258,7 +282,9 @@ def inspect_jdbc_table(
             {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
             for f in schema.fields
         ]
-    out["row_count"] = _q(f"SELECT COUNT(*) AS n FROM {table}").head()[0]
+    out["row_count"] = _q(
+        f"SELECT COUNT(*) AS n FROM {_safe_identifier(table)}"
+    ).head()[0]
     return out
 
 

@@ -156,3 +156,45 @@ def test_explain_returns_plan_without_executing(spark):
     assert out["branch"] == "count_department_match"
     assert "HashAggregate" in out["physical_plan"] or "Aggregate" in out["physical_plan"]
     assert eng.explain("")["success"] is False
+
+
+def test_llm_path_unbounded_select_is_capped(spark):
+    """A validated LLM-emitted SELECT with no LIMIT must not collect the
+    whole table: the driver-side cap truncates at max_result_rows and
+    flags it (VERDICT r02 item 3; reference guardrail = prompt rule 9)."""
+    register_employees(spark, n=500)
+    eng = DataFabricEngine(
+        spark,
+        tables={"employees"},
+        llm_provider=lambda q, s: "SELECT id FROM employees",
+        max_result_rows=50,
+    )
+    out = eng.process("give me absolutely everything")
+    assert out["success"] is True
+    assert out["row_count"] == 50
+    assert out["truncated"] is True
+    assert len(out["data"]) == 50
+
+
+def test_exactly_cap_rows_not_flagged_truncated(spark):
+    register_employees(spark, n=500)
+    eng = DataFabricEngine(
+        spark,
+        tables={"employees"},
+        llm_provider=lambda q, s: "SELECT id FROM employees LIMIT 50",
+        max_result_rows=50,
+    )
+    out = eng.process("first fifty ids")
+    assert out["row_count"] == 50
+    assert out["truncated"] is False
+
+
+def test_llm_provider_false_means_off(spark, monkeypatch):
+    """llm_provider=False must keep the LLM path off even when the env
+    key is present (None means 'read env'; False means 'never')."""
+    monkeypatch.setenv("OPENROUTER_API_KEY", "sk-should-never-be-read")
+    register_employees(spark, n=50)
+    eng = DataFabricEngine(spark, tables={"employees"}, llm_provider=False)
+    assert eng.planner.llm_provider is None
+    out = eng.process("How many employees work in the IT department?")
+    assert out["success"] is True

@@ -119,5 +119,31 @@ def test_sqlite_probes_use_master_and_pragma():
     assert "pragma_table_info" in cn.table_columns_sql("sqlite", "employees")
 
 
-def test_probe_sql_escapes_quotes():
-    assert "''; drop" in cn.table_exists_sql("sqlite", "'; drop")
+def test_probe_rejects_non_identifier_names():
+    """Non-identifier table names are rejected outright (ADVICE r02): the
+    probes interpolate the name into SQL text, and the COUNT query cannot
+    be string-escaped portably — validation is the defense."""
+    with pytest.raises(ValueError):
+        cn.table_exists_sql("sqlite", "'; drop")
+    with pytest.raises(ValueError):
+        cn.table_columns_sql("postgresql", 'emp"loyees')
+
+
+def test_probes_match_case_insensitively_without_lowercased_literal():
+    """Mixed-case stored names (MySQL on Linux, quoted Postgres
+    identifiers) must still be found: compare LOWER(column) to the
+    lowercased literal, never lowercase-and-compare-exact."""
+    sql = cn.table_exists_sql("postgresql", "Employees")
+    assert "LOWER(table_name) = 'employees'" in sql
+    sql = cn.table_columns_sql("mysql", "Employees")
+    assert "LOWER(table_name) = 'employees'" in sql
+    sql = cn.table_exists_sql("sqlite", "Employees")
+    assert "LOWER(name) = 'employees'" in sql
+
+
+def test_schema_qualified_identifier_allowed():
+    assert "warehouse.employees" not in cn.table_exists_sql(
+        "postgresql", "employees"
+    )
+    # qualified names pass validation for the COUNT path
+    assert cn._safe_identifier("warehouse.employees") == "warehouse.employees"

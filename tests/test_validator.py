@@ -155,3 +155,39 @@ def test_scalar_subquery_relations_checked(spark):
             "SELECT (SELECT MAX(x) FROM secret) m FROM employees",
             ALLOWED,
         )
+
+
+def test_qualified_table_name_rejected(spark):
+    """db.employees must not validate as 'employees' (multipart bypass)."""
+    with pytest.raises(SqlValidationError, match="multipart"):
+        validate_select(spark, "SELECT * FROM db.employees", ALLOWED)
+
+
+def test_global_temp_qualified_rejected(spark):
+    with pytest.raises(SqlValidationError, match="multipart"):
+        validate_select(
+            spark, "SELECT * FROM global_temp.employees", ALLOWED
+        )
+
+
+def test_file_source_relation_rejected(spark):
+    """parquet.`/path` relations read arbitrary files (runSQLOnFiles);
+    they must not be admitted by last-segment matching."""
+    with pytest.raises(SqlValidationError):
+        validate_select(
+            spark, "SELECT * FROM parquet.`/tmp/x,employees`", ALLOWED
+        )
+
+
+def test_fully_qualified_allowlist_entry_passes(spark):
+    v = validate_select(
+        spark,
+        "SELECT * FROM warehouse.employees",
+        {"warehouse.employees"},
+    )
+    assert v.tables == {"warehouse.employees"}
+
+
+def test_backquoted_non_identifier_rejected(spark):
+    with pytest.raises(SqlValidationError):
+        validate_select(spark, "SELECT * FROM `emp loyees`", ALLOWED)
