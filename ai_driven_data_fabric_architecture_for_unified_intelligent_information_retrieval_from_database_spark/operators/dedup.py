@@ -326,52 +326,71 @@ def dedup_simhash(spark, t):
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
-        WITH b AS (
-            SELECT vec_id, label, embedding,
-                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8
-                 + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4
-                 + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2
-                 + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
-            FROM embeddings
+def _embedding_dedup_oracle() -> str:
+    from .similarity import _sql_bucket_terms, _sql_params_cte
+
+    return f"""
+        WITH {_sql_params_cte()},
+        b AS (
+            SELECT e.vec_id, e.label, e.embedding,
+                   CAST({_sql_bucket_terms()} AS BIGINT) AS bucket
+            FROM embeddings e, params p
+        ),
+        probes AS (
+            SELECT a_id, a_emb,
+                   CASE WHEN j = 0 THEN bucket
+                        ELSE xor(bucket, CAST(POW(2, j - 1) AS BIGINT)) END AS bucket
+            FROM (
+                SELECT vec_id AS a_id, embedding AS a_emb, bucket,
+                       UNNEST(range(0, (SELECT nbits FROM params) + 1)) AS j
+                FROM b
+            )
         ),
         dropped AS (
             SELECT DISTINCT c.vec_id
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-            WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+            FROM probes a JOIN b c ON a.bucket = c.bucket AND a.a_id < c.vec_id
+            WHERE LIST_COSINE_SIMILARITY(a.a_emb::DOUBLE[],
                                          c.embedding::DOUBLE[]) >= 0.3
         )
         SELECT e.vec_id, e.label,
                e.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_kept
         FROM embeddings e
-    """,
-    covers="pipeline: embedding-cosine near-dup removal (LSH-bucketed, keep-first)",
+    """
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_embedding_dedup_oracle(),
+    covers="pipeline: embedding-cosine near-dup removal (corpus-scaled LSH + multi-probe, keep-first)",
 )
 def dedup_embedding_cosine(spark, t):
     """Embedding-space near-duplicate removal with keep-first policy: a
-    vector is dropped when a same-LSH-bucket vector with a smaller id is
-    within cosine >= 0.3. The candidate join is the sign-hyperplane bucket
-    equi-join (similarity.py) — ~1/16 of the corpus per side, never
-    all-pairs — so the shape survives an unbounded corpus; cross-bucket
-    near-dups are the documented LSH recall trade (probing = flipping sign
-    bits). The final verdict is a left-anti-style mark join against the
-    (small) dropped-id set, not a filter, so downstream pipelines can audit
-    what was removed."""
-    from .similarity import cosine_expr
+    vector is dropped when a candidate vector with a smaller id is within
+    cosine >= 0.3. Candidates come from the CORPUS-SCALED sign-LSH bucket
+    join (B = ceil(log2(N/32)) bits, similarity.py) with flip-1-bit
+    multi-probe on the smaller-id side — expected same-bucket pair count
+    stays ~32 rows/bucket * N * (B+1), i.e. near-linear in N, vs O(N^2/16)
+    at a fixed 16 buckets. Near-dups differing in >1 sign bits are the
+    documented residual recall trade (measured against planted near-dups
+    in tests/test_similarity.py). The final verdict is a mark join against
+    the (small) dropped-id set, not a filter, so downstream pipelines can
+    audit what was removed."""
+    from .similarity import (
+        cosine_expr,
+        lsh_num_bits,
+        multiprobe_buckets,
+        sign_bucket_col,
+    )
 
     e = t["embeddings"]
-    bit = lambda i, w: (
-        F.when(F.element_at("embedding", i) >= 0, 1).otherwise(0) * w
-    )
-    b = e.select(
-        "vec_id",
-        "embedding",
-        (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).alias("bucket"),
-    )
-    a = b.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket"
+    nbits = lsh_num_bits(e.count())
+    b = e.select("vec_id", "embedding", sign_bucket_col(nbits).alias("bucket"))
+    a = multiprobe_buckets(
+        b.select(
+            F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket"
+        ),
+        nbits,
+        radius=1,
     )
     c = b.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket"

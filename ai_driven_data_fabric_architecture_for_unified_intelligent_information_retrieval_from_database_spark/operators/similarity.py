@@ -13,9 +13,95 @@ without any rounding slop.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .registry import query
+
+# -- corpus-scaled sign-LSH parameters (VERDICT r02 item 2) ------------------
+#
+# The bucket count must GROW with the corpus: a fixed 16 buckets makes
+# within-bucket candidate generation O(N^2/16) — a constant-factor cut, not
+# an asymptotic one. With B = ceil(log2(N / TARGET_BUCKET_ROWS)) sign bits,
+# 2^B ~ N/32, so expected bucket occupancy stays ~32 rows and the total
+# same-bucket pair count stays LINEAR in N. B is clamped to [4, 24]
+# (embedding dim 64 bounds the usable bits; >24 needs random-rotation
+# projections, same plan shape). Both engines derive B from COUNT(*) with
+# the same IEEE double log2/ceil, so the oracle reproduces it exactly.
+
+TARGET_BUCKET_ROWS = 32
+MIN_LSH_BITS = 4
+MAX_LSH_BITS = 24
+
+
+def lsh_num_bits(
+    corpus_rows: int,
+    target_bucket_rows: int = TARGET_BUCKET_ROWS,
+    lo: int = MIN_LSH_BITS,
+    hi: int = MAX_LSH_BITS,
+) -> int:
+    """Hyperplane-bit count for a corpus of ``corpus_rows`` vectors."""
+    if corpus_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(corpus_rows / float(target_bucket_rows)))))
+
+
+def sign_bucket_col(nbits: int, emb: str = "embedding") -> Column:
+    """Sign-LSH bucket id from the first ``nbits`` dimensions' signs
+    (little-endian: dim i carries weight 2^(i-1)). Axis-aligned hyperplanes
+    keep the expression deterministic and oracle-reproducible; a trained
+    random-rotation variant changes only this column."""
+    b: Column | None = None
+    for i in range(1, nbits + 1):
+        term = F.when(F.element_at(emb, i) >= 0, F.lit(1 << (i - 1))).otherwise(F.lit(0))
+        b = term if b is None else b + term
+    return b.cast("long")
+
+
+def probe_masks(nbits: int, radius: int = 1) -> list[int]:
+    """XOR masks for multi-probe expansion: the home bucket plus every
+    bucket within hamming distance ``radius`` (flip-1, optionally flip-2).
+    len = 1 + B + C(B,2) at radius 2."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(nbits)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(nbits) for j in range(i + 1, nbits)]
+    return masks
+
+
+def multiprobe_buckets(
+    df: DataFrame, nbits: int, radius: int = 1, bucket: str = "bucket"
+) -> DataFrame:
+    """Explode each row into its probe buckets (home + hamming<=radius).
+    The downstream equi-join on ``bucket`` then reaches near-miss buckets
+    without any non-equi predicate — the multi-probe LSH candidate plan."""
+    masks = probe_masks(nbits, radius)
+    return (
+        df.select("*", F.explode(F.array(*[F.lit(m) for m in masks])).alias("_pm"))
+        .withColumn(bucket, F.col(bucket).bitwiseXOR(F.col("_pm")).cast("long"))
+        .drop("_pm")
+    )
+
+
+def _sql_params_cte(table: str = "embeddings") -> str:
+    """CTE computing the corpus-scaled bit count in the oracle's engine."""
+    return (
+        f"params AS (SELECT GREATEST({MIN_LSH_BITS}, LEAST({MAX_LSH_BITS}, "
+        f"CAST(CEIL(LOG2(COUNT(*) / {TARGET_BUCKET_ROWS}.0)) AS INTEGER))) "
+        f"AS nbits FROM {table})"
+    )
+
+
+def _sql_bucket_terms(alias: str = "e") -> str:
+    """SQL twin of :func:`sign_bucket_col` with B dynamic: every term up to
+    MAX_LSH_BITS exists, gated on ``i <= p.nbits``."""
+    return " + ".join(
+        f"(CASE WHEN {i} <= p.nbits AND {alias}.embedding[{i}] >= 0 "
+        f"THEN {1 << (i - 1)} ELSE 0 END)"
+        for i in range(1, MAX_LSH_BITS + 1)
+    )
 
 
 def dot_expr(a: str, b: str) -> Column:
@@ -135,33 +221,30 @@ def similarity_threshold_pairs(spark, t):
 
 @query(
     "similarity_sign_lsh_buckets",
-    oracle="""
-        WITH b AS (
-            SELECT vec_id, label,
-                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8
-                 + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4
-                 + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2
-                 + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
-            FROM embeddings
+    oracle=f"""
+        WITH {_sql_params_cte()},
+        b AS (
+            SELECT e.vec_id, e.label,
+                   CAST({_sql_bucket_terms()} AS BIGINT) AS bucket
+            FROM embeddings e, params p
         )
         SELECT bucket, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
         FROM b GROUP BY bucket
     """,
-    covers="pipeline: LSH bucketing for ANN (sign-hyperplane partitioning)",
+    covers="pipeline: LSH bucketing for ANN (corpus-scaled sign-hyperplane partitioning)",
 )
 def similarity_sign_lsh_buckets(spark, t):
-    """Sign-LSH bucket assignment (4 axis-aligned hyperplanes -> 16 buckets)
-    plus occupancy stats. Candidate generation then joins on ``bucket``
-    instead of cross-joining the corpus; probing neighbors = flipping one
-    sign bit. Deterministic — no random projections, so the oracle can
-    reproduce it."""
+    """Sign-LSH bucket assignment with CORPUS-SCALED bit count: B =
+    clamp(ceil(log2(N/32)), 4, 24) hyperplanes -> ~N/32 buckets, so bucket
+    occupancy — and with it the per-bucket candidate work — stays constant
+    as the corpus grows (the asymptotic fix over a fixed 16 buckets).
+    Candidate generation joins on ``bucket``; probing = flipping sign bits
+    (:func:`multiprobe_buckets`). Deterministic — no random projections, so
+    the oracle reproduces B and every bucket id exactly."""
     e = t["embeddings"]
-    bit = lambda i, w: (
-        F.when(F.element_at("embedding", i) >= 0, 1).otherwise(0) * w
-    )
-    bucket = bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)
+    nbits = lsh_num_bits(e.count())
     return (
-        e.select("vec_id", "label", bucket.alias("bucket"))
+        e.select("vec_id", "label", sign_bucket_col(nbits).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_vectors"),
@@ -172,21 +255,28 @@ def similarity_sign_lsh_buckets(spark, t):
 
 @query(
     "similarity_bucketed_ann",
-    oracle="""
-        WITH b AS (
-            SELECT vec_id, embedding,
-                   (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) * 8
-                 + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) * 4
-                 + (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) * 2
-                 + (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket
-            FROM embeddings
+    oracle=f"""
+        WITH {_sql_params_cte()},
+        b AS (
+            SELECT e.vec_id, e.embedding,
+                   CAST({_sql_bucket_terms()} AS BIGINT) AS bucket
+            FROM embeddings e, params p
+        ),
+        probes AS (
+            SELECT q_id, q_emb,
+                   CASE WHEN j = 0 THEN bucket
+                        ELSE xor(bucket, CAST(POW(2, j - 1) AS BIGINT)) END AS bucket
+            FROM (
+                SELECT vec_id AS q_id, embedding AS q_emb, bucket,
+                       UNNEST(range(0, (SELECT nbits FROM params) + 1)) AS j
+                FROM b WHERE vec_id < 20
+            )
         ),
         scored AS (
-            SELECT a.vec_id AS q_id, c.vec_id AS cand_id,
-                   LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+            SELECT p.q_id, c.vec_id AS cand_id,
+                   LIST_COSINE_SIMILARITY(p.q_emb::DOUBLE[],
                                           c.embedding::DOUBLE[]) AS cos_sim
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
-            WHERE a.vec_id < 20
+            FROM probes p JOIN b c ON p.bucket = c.bucket AND p.q_id <> c.vec_id
         )
         SELECT * FROM (
             SELECT q_id, cand_id, cos_sim,
@@ -195,23 +285,27 @@ def similarity_sign_lsh_buckets(spark, t):
             FROM scored
         ) WHERE rnk <= 3
     """,
-    covers="pipeline: ANN via LSH bucket join (approximate top-k, scale path)",
+    covers="pipeline: ANN via corpus-scaled LSH bucket join + flip-1 multi-probe",
 )
 def similarity_bucketed_ann(spark, t):
-    """Approximate top-3 neighbors restricted to same-bucket candidates —
-    the IVF/LSH-style plan that replaces the cross join at scale (recall
-    traded for a candidate set ~1/16 of the corpus per query)."""
+    """Approximate top-3 neighbors from multi-probe LSH candidates: each
+    query probes its home bucket plus every flip-1-bit neighbor bucket
+    (B+1 equi-join keys), candidates are scored exactly, window-rank keeps
+    3. With B = ceil(log2(N/32)) the candidate set per query is ~32*(B+1)
+    vectors — logarithmic growth, vs the fixed-16-bucket N/16. Probing
+    recovers the near-miss buckets that bit-count growth would otherwise
+    cost in recall (measured: tests/test_similarity.py recall gates)."""
     from pyspark.sql import Window
 
     e = t["embeddings"]
-    bit = lambda i, w: (
-        F.when(F.element_at("embedding", i) >= 0, 1).otherwise(0) * w
-    )
-    b = e.select(
-        "vec_id", "embedding", (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).alias("bucket")
-    )
-    a = b.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    nbits = lsh_num_bits(e.count())
+    b = e.select("vec_id", "embedding", sign_bucket_col(nbits).alias("bucket"))
+    a = multiprobe_buckets(
+        b.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+        ),
+        nbits,
+        radius=1,
     )
     c = b.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
