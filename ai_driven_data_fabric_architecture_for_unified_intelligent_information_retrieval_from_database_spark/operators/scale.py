@@ -81,3 +81,36 @@ def sampling_deterministic_split(spark, t):
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "partition_pruned_daily_read",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        GROUP BY 1
+    """,
+    covers="scale: date-partitioned layout + partition-pruned read (PartitionFilters proof)",
+)
+def partition_pruned_daily_read(spark, t):
+    """Round-trip through the 100 TB storage layout: write events
+    partitioned by day (sources/sinks.py::write_partitioned), read back
+    with a day predicate, aggregate. The predicate lands in the scan's
+    PartitionFilters — directories outside the 3-day range are never
+    opened, let alone read (pinned as a plan gate in tests/test_plans.py).
+    At 100 TB with daily partitions this is the difference between
+    scanning 3 days and scanning 3 years."""
+    import tempfile
+
+    from ..sources.sinks import write_partitioned
+
+    day_events = t["events"].withColumn("day", F.col("ts").cast("date"))
+    path = tempfile.mkdtemp(prefix="events_daily_") + "/events_by_day"
+    write_partitioned(day_events, path, ["day"])
+    return (
+        spark.read.parquet(path)
+        .where(F.col("day").between("2024-01-10", "2024-01-12"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_events"))
+    )

@@ -153,3 +153,31 @@ def streaming_daily_rollup(spark, sf_dir):
         "total_value",
     )
     return out
+
+
+@query_sfdir(
+    "streaming_dedup_watermark",
+    oracle="""
+        SELECT user_id, event_type, DATE_TRUNC('minute', ts) AS minute_ts
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    covers="2.9 streaming dedup (dropDuplicates + watermark state eviction)",
+)
+def streaming_dedup_watermark(spark, sf_dir):
+    """Streaming idempotency-key dedup: at most one event per
+    (user, type, minute), enforced BY THE STREAMING ENGINE with
+    dropDuplicates over a watermarked event-time key — dedup state older
+    than the watermark is evicted, which is what lets this run forever on
+    an unbounded feed. The output projects the KEY columns (which row wins
+    within a key depends on arrival order, a nondeterminism the key set
+    does not have), so the exact oracle is the distinct key set."""
+    ev = sw.events_stream(spark, sf_dir)
+    keyed = ev.withColumn("minute_ts", F.date_trunc("minute", F.col("ts")))
+    dd = (
+        keyed.withWatermark("minute_ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "minute_ts"])
+        .select("user_id", "event_type", "minute_ts")
+    )
+    out = sw.run_available_now(dd, "reg_stream_dedup", output_mode="append")
+    return _ntz(out, "minute_ts")

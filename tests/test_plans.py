@@ -188,3 +188,15 @@ def test_nl_star_path_broadcasts_dimensions(spark):
     DataFrame plans do."""
     plan = plan_of(spark, "nl_revenue_by_region")
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """The date predicate over the day-partitioned layout must become a
+    PartitionFilter on the scan (directory pruning), not a data filter —
+    at 100 TB this is the difference between reading 3 days and 3 years."""
+    plan = plan_of(spark, "partition_pruned_daily_read")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan
+    assert "day" in pf[0], pf[0]
+    # the predicate must NOT degrade into a post-scan Filter on day
+    assert "2024-01-10" in pf[0] or "19732" in pf[0], pf[0]
