@@ -69,7 +69,7 @@ def dedup_exact(spark, t):
         FROM (
             SELECT doc_id,
                    MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
-                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+                        '[^a-z0-9 ]+', '', 'g'), ' {2,}', ' ', 'g'))) AS fp
             FROM documents
         )
         GROUP BY fp

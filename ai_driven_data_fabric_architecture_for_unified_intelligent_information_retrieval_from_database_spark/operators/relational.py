@@ -496,6 +496,19 @@ def join_anti(spark, t):
     )
 
 
+def _fits_broadcast(spark, df) -> bool:
+    """Catalyst's own pre-AQE size estimate for ``df`` against the session
+    broadcast threshold — the same comparison the planner makes."""
+    try:
+        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        thr = 10 * 1024 * 1024
+    if thr <= 0:
+        return False
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    return size <= thr
+
+
 @query(
     "join_star_flagship",
     oracle=f"""
@@ -514,22 +527,69 @@ def join_anti(spark, t):
 def join_star_flagship(spark, t):
     """Revenue by region x market segment over the full star schema.
 
-    The scale-critical choices: nation and region are broadcast (they are
-    O(10^2) rows at any scale factor, so the 100 TB fact side never shuffles
-    for them); lineitem->orders->customer are key shuffles that AQE can
-    re-plan; revenue uses the exact decimal reduction.
+    Two plans, chosen by whether orders fits the session broadcast
+    threshold (checked with Catalyst's own size estimate — a driver-side
+    cost-based decision, no data read):
+
+    - **orders broadcastable** (small/mid sf): plain join tree; Catalyst
+      broadcasts orders and customer into the single lineitem scan stage,
+      so nothing big ever shuffles. Forcing a pre-aggregation here would
+      ADD a full lineitem exchange where none exists (measured 2.4 s vs
+      5.3 s at sf1).
+    - **orders too big** (sf10+, and any real cluster): the revenue
+      aggregation is pushed BELOW every join, staged along the key
+      hierarchy — lineitem rolls up to one (micro-unit sum, count) row
+      per orderkey before meeting orders, and re-aggregates to one row
+      per custkey before meeting customer — so each exchange carries
+      rollup-grain rows, never lineitem-grain. Micro-unit long partials
+      re-aggregate exactly (associative); one double conversion at the
+      end is bit-identical to a direct stable_sum.
+
+    Nation and region are broadcast in both (O(10^2) rows at any scale).
     """
     l, o, c = t["lineitem"], t["orders"], t["customer"]
     n, r = t["nation"], t["region"]
+    if _fits_broadcast(spark, o.select("o_orderkey", "o_custkey")):
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "c_mktsegment")
+            .agg(
+                stable_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+    micro = F.lit(1e6)
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * micro)
+            .cast("long")
+        ).alias("rev_micro"),
+        F.count("*").alias("n_items"),
+    )
+    per_cust = (
+        per_order.join(
+            o.select("o_orderkey", "o_custkey"),
+            per_order.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_micro").alias("rev_micro"), F.sum("n_items").alias("n_items"))
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        per_cust.join(
+            c.select("c_custkey", "c_mktsegment", "c_nationkey"),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "c_mktsegment")
         .agg(
-            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.count("*").alias("n_items"),
+            (F.sum("rev_micro") / micro).alias("revenue"),
+            F.sum("n_items").alias("n_items"),
         )
     )
 

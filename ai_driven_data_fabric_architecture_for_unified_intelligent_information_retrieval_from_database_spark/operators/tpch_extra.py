@@ -416,10 +416,14 @@ def tpch_q17(spark, t):
 def tpch_q18(spark, t):
     """Customers with orders totalling >250 units. One lineitem rollup
     serves both the HAVING filter and the output measure (the textbook Q18
-    plan re-joins lineitem and re-aggregates — pointless work); the
-    surviving ~1% of order keys then join orders/customer. At 100 TB this
-    is the difference between joining all orders and joining the few that
-    matter.
+    plan re-joins lineitem and re-aggregates — pointless work). Join order
+    is driven by the HAVING filter's selectivity (~1 order in 10^3 passes
+    250 units): the tiny rollup BROADCASTS into orders first, shrinking
+    orders to the handful of qualifying rows, and THAT result broadcasts
+    into customer — so neither orders nor customer ever shuffles. The only
+    exchange in the whole plan is the lineitem rollup. (The naive
+    customer-join-orders-first order pays two fact-fact shuffles for rows
+    that are about to be discarded.)
     """
     c, o, l = t["customer"], t["orders"], t["lineitem"]
     big = (
@@ -428,9 +432,9 @@ def tpch_q18(spark, t):
         .where(F.col("total_qty") > 250)
         .withColumnRenamed("l_orderkey", "big_key")
     )
+    o_big = o.join(F.broadcast(big), o.o_orderkey == F.col("big_key"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(big, o.o_orderkey == F.col("big_key"))
+        c.join(F.broadcast(o_big), c.c_custkey == o_big.o_custkey)
         .select(
             "c_name",
             "c_custkey",

@@ -200,3 +200,12 @@ def test_partitioned_read_prunes_partitions(spark):
     assert "day" in pf[0], pf[0]
     # the predicate must NOT degrade into a post-scan Filter on day
     assert "2024-01-10" in pf[0] or "19732" in pf[0], pf[0]
+
+
+def test_q18_joins_are_all_broadcast(spark):
+    """Q18's only exchange should be the lineitem rollup: the tiny HAVING
+    survivor set broadcasts into orders, and that result broadcasts into
+    customer — no sort-merge join anywhere."""
+    plan = plan_of(spark, "tpch_q18_large_volume_customers")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
