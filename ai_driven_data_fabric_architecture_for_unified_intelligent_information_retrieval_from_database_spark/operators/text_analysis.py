@@ -153,8 +153,12 @@ def text_quality_score(spark, t):
     n_tokens = token_count()
     n_chars_m = F.length("text").cast("long")
     n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    # translate, not regexp_replace('[0-9]'): a char-class replaceAll is a
+    # full-string Java-regex scan, which anti-scales across executor
+    # threads (see functions/text.py::normalized_text); the translate
+    # table lookup is equivalent and linear.
     n_digits = (
-        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        F.length("text") - F.length(F.translate("text", "0123456789", ""))
     ).cast("long")
     digit_ratio = n_digits / F.greatest(n_chars_m, F.lit(1)).cast("double")
     return d.select(
