@@ -171,12 +171,38 @@ N_BANDS = 4  # LSH bands of N_PERM / N_BANDS rows each
 
 
 def minhash_signatures(t) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of xxhash64(shingle, salt_p)
-    for each of N_PERM salted hash functions. One explode + one groupBy —
-    the shuffle carries (doc_id, 16 longs), independent of document size."""
-    sh = _distinct_shingles(t)
+    """Per-doc MinHash signature. Each shingle STRING is hashed exactly
+    once (xxhash64); the N_PERM permutations are cheap re-hashes of that
+    8-byte value (xxhash64 over a long column), not N_PERM passes over the
+    string — ~an order of magnitude less hashing work per shingle. The
+    distinct that dedups shingles-within-doc runs on (doc_id, hash), so
+    its shuffle carries longs, never shingle text (64-bit collisions are
+    noise far below the estimator's own variance). One explode + one
+    groupBy — the final shuffle carries (doc_id, 16 longs), independent
+    of document size."""
+    # The 3-gram is hashed straight from its word triple inside the array
+    # transform (xxhash64 over three string elements) — the joined shingle
+    # STRING is never materialized, and the explode emits longs. Short
+    # documents (< 3 words) hash their truncated tail via try_element_at's
+    # NULLs, mirroring shingles_expr's one-truncated-shingle behavior.
+    sh = (
+        t["documents"]
+        .select("doc_id", words_col().alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws) - 2, 1)),"
+                    " i -> xxhash64(try_element_at(ws, i),"
+                    " try_element_at(ws, i + 1), try_element_at(ws, i + 2)))"
+                )
+            ).alias("hsh"),
+        )
+        .distinct()
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(p))).alias(f"h{p}") for p in range(N_PERM)
+        F.min(F.xxhash64(F.col("hsh"), F.lit(p))).alias(f"h{p}")
+        for p in range(N_PERM)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 

@@ -53,38 +53,32 @@ HEADLINE = [
 ]
 
 
-def _group_bytes(sf_dir: str) -> int:
-    """Target row-group byte size, scaled from the corpus: ~64 groups of
-    the largest table, clamped to [256 KB, 4 MB]."""
-    largest = max(
-        (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)
-         if f.endswith(".parquet")),
-        default=10 * 1024 * 1024,
-    )
-    return min(max(largest // 64, 256 * 1024), 4 * 1024 * 1024)
+#: Files per re-chunked table — one scan task per file, every table.
+N_BENCH_FILES = 32
 
 
 def _rechunk(sf_dir: str) -> str:
-    """Ingest/layout stage: rewrite each table with multiple parquet row
-    groups (identical rows, identical schema — only the physical chunking
-    changes).
+    """Ingest/layout stage: rewrite each table as a DIRECTORY of up to
+    N_BENCH_FILES parquet files (identical rows, identical schema — only
+    the physical layout changes).
 
-    The driver's test files each contain a SINGLE row group, and a parquet
-    scan parallelizes across row groups — so however small the splits, one
-    task does all the IO/decode and 31 cores idle. No real deployment
-    stores 100 TB as one row group; writers emit ~128 MB groups precisely
-    so readers can parallelize. This stage is that writer behavior, applied
-    once at startup (~1 s), and is reported transparently in BASELINE.md —
-    the DuckDB baseline there is measured on the SAME re-chunked files
-    (DuckDB also parallelizes by row group).
-
-    Groups are sized in BYTES (uniform across tables), not a fixed count
-    per table: with count-based groups and a split sized for the largest
-    table, a mid-sized table (documents: 58 MB when lineitem is 1.1 GB)
-    collapses to ~4 scan tasks and the per-row-expensive text operators
-    run on 4 of 32 cores (measured: text_fingerprint 23 s -> ~7 s at sf10
-    after this change). One byte size for groups AND split gives every
-    table ~size/group_bytes tasks.
+    The driver's test files each contain a SINGLE row group, so one task
+    does all the IO/decode and 31 cores idle no matter the split size. No
+    real deployment stores a table as one row group — or as one file —
+    which is the layout this stage produces: many files per table, one
+    scan task per file (bench.py disables split-combining by setting
+    openCostInBytes = maxPartitionBytes). File-count chunking beats
+    row-group chunking here because ONE global split size cannot serve
+    tables of very different sizes: a split sized for lineitem (1.1 GB at
+    sf10) leaves documents (58 MB) with 4 tasks and the regex-heavy text
+    operators on 4 of 32 cores, while a split sized for documents explodes
+    lineitem into ~550 splits of task-dispatch overhead — and
+    byte-uniform row groups (262 per file at sf10) measurably taxed every
+    join-heavy query with per-task footer parsing. 32 files per table
+    gives every table exactly full-core parallel scans with 1-row-group
+    footers. Applied once at startup (~1 s) and reported transparently in
+    BASELINE.md — the DuckDB baseline is measured on the SAME re-chunked
+    files (DuckDB parallelizes across files and row groups alike).
     """
     import pyarrow.parquet as pq
 
@@ -92,24 +86,59 @@ def _rechunk(sf_dir: str) -> str:
         "/tmp", "bench_rechunk_" + sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(out_dir, exist_ok=True)
-    gbytes = _group_bytes(sf_dir)
     for fname in os.listdir(sf_dir):
         if not fname.endswith(".parquet"):
             continue
         src = os.path.join(sf_dir, fname)
         dst = os.path.join(out_dir, fname)
-        if os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
+        if os.path.isdir(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
             continue
+        if os.path.isfile(dst):
+            os.remove(dst)
         tbl = pq.read_table(src)
-        size = os.path.getsize(src)
-        n_groups = max(size // gbytes, 1)
-        rows_per_group = max(tbl.num_rows // n_groups, 4096)
-        # Write-then-rename: a crash mid-write must not leave a truncated
-        # dst with a fresh mtime that the cache check above would then skip.
-        tmp = dst + ".tmp"
-        pq.write_table(tbl, tmp, row_group_size=rows_per_group)
+        n_files = max(1, min(N_BENCH_FILES, tbl.num_rows // 4096))
+        per_file = -(-tbl.num_rows // n_files)  # ceil
+        # Write into a temp dir, then rename: a crash mid-write must not
+        # leave a half-written dst with a fresh mtime that the cache check
+        # above would then skip.
+        tmp = dst + ".tmpdir"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for i in range(n_files):
+            part = tbl.slice(i * per_file, per_file)
+            if part.num_rows == 0:
+                break
+            pq.write_table(
+                part,
+                os.path.join(tmp, f"part-{i:04d}.parquet"),
+                row_group_size=part.num_rows,
+            )
+        if os.path.isdir(dst):
+            import shutil
+
+            shutil.rmtree(dst)
         os.replace(tmp, dst)
     return out_dir
+
+
+def _warm_page_cache(sf_dir: str) -> None:
+    """Sequential read of every parquet file (or part file) under sf_dir."""
+    for fname in os.listdir(sf_dir):
+        if not fname.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, fname)
+        parts = (
+            [os.path.join(p, g) for g in sorted(os.listdir(p))]
+            if os.path.isdir(p)
+            else [p]
+        )
+        for part in parts:
+            with open(part, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
 
 def main() -> None:
@@ -124,26 +153,26 @@ def main() -> None:
     # are never read before timing, and a cold first pass measures disk, not
     # the engine (observed 10x swings on an evicted cache). One sequential
     # read per file; both engines benefit identically.
-    for fname in os.listdir(sf_dir):
-        if fname.endswith(".parquet"):
-            with open(os.path.join(sf_dir, fname), "rb") as fh:
-                while fh.read(1 << 24):
-                    pass
-    # Local-bench-only tuning, sized from the data: a scan parallelizes
-    # across row groups only if the split size admits them — at sf0.1 the
-    # largest table is ~10 MB, where the 128 MB default split would give
-    # ONE scan partition and leave 31 cores idle. The split EQUALS the
-    # rechunk group byte size, so every table — not just the largest —
-    # scans with ~size/group_bytes tasks (one task per group); a real
-    # cluster keeps the defaults (row groups are ~128 MB there). Shuffle
-    # partitions scale with input too (AQE coalesces the small cases at
-    # runtime).
+    _warm_page_cache(sf_dir)
+    # Local-bench-only tuning: the re-chunked layout is N_BENCH_FILES
+    # files per table, and the scan should run exactly one task per file —
+    # openCostInBytes = maxPartitionBytes (both larger than any part file)
+    # disables both file splitting and file combining, so every table gets
+    # full-core parallelism with no empty-split dispatch overhead. A real
+    # cluster keeps the defaults (its files are ~128 MB-row-group sized).
+    def _tbl_size(f: str) -> int:
+        p = os.path.join(sf_dir, f)
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(p, g)) for g in os.listdir(p)
+            )
+        return os.path.getsize(p)
+
     largest = max(
-        (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)
-         if f.endswith(".parquet")),
+        (_tbl_size(f) for f in os.listdir(sf_dir) if f.endswith(".parquet")),
         default=10 * 1024 * 1024,
     )
-    split = _group_bytes(sf_dir)
+    split = 256 * 1024 * 1024
     # Broadcast capacity scales with executor memory; this bench runs one
     # big-heap JVM, so dimensions that outgrow the 10 MB default (customer
     # is ~25 MB at sf10) should still broadcast rather than force a
@@ -155,7 +184,7 @@ def main() -> None:
         app_name="fabric-bench",
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(split),
-            "spark.sql.files.openCostInBytes": str(max(split // 16, 16 * 1024)),
+            "spark.sql.files.openCostInBytes": str(split),
             "spark.sql.shuffle.partitions": "16" if largest < 64 * 1024 * 1024 else "64",
             "spark.sql.autoBroadcastJoinThreshold": str(bcast),
             # 32 executor threads share ONE local JVM; the session default

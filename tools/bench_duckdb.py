@@ -33,17 +33,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_dir = _rechunk(sf_dir)
     # Same page-cache warm as bench.py: a cold first pass measures disk.
-    for fname in os.listdir(sf_dir):
-        if fname.endswith(".parquet"):
-            with open(os.path.join(sf_dir, fname), "rb") as fh:
-                while fh.read(1 << 24):
-                    pass
+    from bench import _warm_page_cache
+
+    _warm_page_cache(sf_dir)
 
     con = duckdb.connect()
     con.execute("SET timezone='UTC'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # rechunked directory-of-parts layout
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     osql = oracle_sql()
