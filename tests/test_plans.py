@@ -209,3 +209,19 @@ def test_q18_joins_are_all_broadcast(spark):
     plan = plan_of(spark, "tpch_q18_large_volume_customers")
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_join_star_adapts_to_broadcast_threshold(spark):
+    """join_star picks its plan from Catalyst's orders-size estimate: the
+    plain broadcast tree while orders fits the threshold, the staged
+    rollup pushdown (micro-unit partials, visible as rev_micro) when it
+    does not."""
+    plan_small = plan_of(spark, "join_star_flagship")
+    assert "rev_micro" not in plan_small, "expected broadcast form at sf0.01"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_big = plan_of(spark, "join_star_flagship")
+        assert "rev_micro" in plan_big, "expected staged rollup form"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
