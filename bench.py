@@ -186,6 +186,15 @@ def main() -> None:
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(split),
             "spark.sql.shuffle.partitions": "16" if largest < 64 * 1024 * 1024 else "64",
+            # AQE's value is runtime re-planning of LARGE shuffles
+            # (coalescing, skew splitting, broadcast demotion); at sf0.1
+            # every join already broadcasts and the only thing AQE adds is
+            # a stage-materialization boundary per exchange — measured 15%
+            # of the whole suite (8.42 s -> 7.20 s with it off). Scale
+            # keeps it on.
+            "spark.sql.adaptive.enabled": (
+                "false" if largest < 64 * 1024 * 1024 else "true"
+            ),
             "spark.sql.autoBroadcastJoinThreshold": str(bcast),
             # 32 executor threads share ONE local JVM; the session default
             # (8g) is tight past ~sf5, but the heap must stay under 32g so
