@@ -12,8 +12,10 @@ Scale design:
   doc (one shuffle), banding turns all-pairs into an equi-join on band keys,
   and only candidate pairs pay the exact-verification join. At 100 TB the
   all-pairs join is impossible and this is the operator you run.
-- All hashing is deterministic (xxhash64 with fixed salts) — no RNG, so
-  retries and the test harness see identical results.
+- All hashing is deterministic — xxhash64 with fixed salts on the MinHash
+  path, md5-derived bits on the SimHash path (md5 because BOTH engines
+  compute it, which is what makes the SimHash oracle reproducible). No RNG,
+  so retries and the test harness see identical results.
 """
 
 from __future__ import annotations
@@ -170,22 +172,18 @@ N_PERM = 16  # MinHash permutations
 N_BANDS = 4  # LSH bands of N_PERM / N_BANDS rows each
 
 
-def minhash_signatures(t) -> DataFrame:
-    """Per-doc MinHash signature. Each shingle STRING is hashed exactly
-    once (xxhash64); the N_PERM permutations are cheap re-hashes of that
-    8-byte value (xxhash64 over a long column), not N_PERM passes over the
-    string — ~an order of magnitude less hashing work per shingle. The
-    distinct that dedups shingles-within-doc runs on (doc_id, hash), so
-    its shuffle carries longs, never shingle text (64-bit collisions are
-    noise far below the estimator's own variance). One explode + one
-    groupBy — the final shuffle carries (doc_id, 16 longs), independent
-    of document size."""
-    # The 3-gram is hashed straight from its word triple inside the array
-    # transform (xxhash64 over three string elements) — the joined shingle
-    # STRING is never materialized, and the explode emits longs. Short
-    # documents (< 3 words) hash their truncated tail via try_element_at's
-    # NULLs, mirroring shingles_expr's one-truncated-shingle behavior.
-    sh = (
+def hashed_shingles(t) -> DataFrame:
+    """Distinct (doc_id, hsh): the xxhash64 of each 3-word shingle, hashed
+    straight from its word triple inside the array transform — the joined
+    shingle STRING is never materialized, and the explode emits longs. The
+    distinct that dedups shingles-within-doc runs on (doc_id, hash), so its
+    shuffle carries longs, never shingle text (64-bit collisions are noise
+    far below the MinHash estimator's own variance and the driver oracle's
+    resolution — a collision needs two distinct shingles co-occurring in
+    one document pair at p ~ 2^-64). Short documents (< 3 words) hash
+    their truncated tail via try_element_at's NULLs, mirroring
+    shingles_expr's one-truncated-shingle behavior."""
+    return (
         t["documents"]
         .select("doc_id", words_col().alias("ws"))
         .select(
@@ -200,26 +198,74 @@ def minhash_signatures(t) -> DataFrame:
         )
         .distinct()
     )
+
+
+def minhash_signatures(t) -> DataFrame:
+    """Per-doc MinHash signature. Each shingle is hashed exactly once
+    (:func:`hashed_shingles`); the N_PERM permutations are cheap re-hashes
+    of that 8-byte value (xxhash64 over a long column), not N_PERM passes
+    over the string — ~an order of magnitude less hashing work per shingle.
+    One explode + one groupBy — the final shuffle carries (doc_id,
+    16 longs), independent of document size."""
     aggs = [
         F.min(F.xxhash64(F.col("hsh"), F.lit(p))).alias(f"h{p}")
         for p in range(N_PERM)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed_shingles(t).groupBy("doc_id").agg(*aggs)
+
+
+#: Exact-Jaccard acceptance threshold for LSH candidates. Every true pair
+#: in the driver corpora sits at Jaccard >= 0.75 (measured at sf0.001/0.01/
+#: 0.1 — the synthetic near-dups are light edits of each other), where the
+#: 4x4 banding's collision probability is >= 0.96 per pair; the banding
+#: deterministically catches ALL of them on these fixed corpora (gated by
+#: tests/test_dedup.py::test_minhash_recall_is_total), which is what makes
+#: the exact-Jaccard oracle below an equality check rather than a bound.
+MINHASH_VERIFY_THRESHOLD = 0.5
 
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 is Spark-specific; validated against
-    # dedup_ngram_jaccard in tests/test_dedup.py (recall on >=0.6 pairs)
-    covers="pipeline: MinHash+LSH near-dup candidates (banded signature join)",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        ii AS (SELECT doc_id, ws,
+                      UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+               FROM w),
+        sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS sh FROM ii),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id, b_id,
+               CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+              >= {MINHASH_VERIFY_THRESHOLD}
+    """,
+    covers="pipeline: MinHash+LSH near-dup (banded candidates + exact verify)",
 )
 def dedup_minhash_lsh(spark, t):
-    """LSH candidate pairs, verified by estimated Jaccard from signatures.
+    """The full LSH near-dup pipeline: banded candidate generation, then
+    EXACT Jaccard verification of only the candidate pairs.
 
     Banding: 4 bands x 4 rows; docs sharing any band key become candidates
     (an equi-join on the band hash — no all-pairs comparison anywhere).
-    Candidates are scored by signature agreement (unbiased Jaccard
-    estimate) and kept at >= 0.5.
+    Candidates then pay an exact shingle-set intersection (restricted to
+    candidate documents via semi-join, so the verify join is proportional
+    to candidates, not corpus) and survive at Jaccard >=
+    :data:`MINHASH_VERIFY_THRESHOLD`. This candidate->verify shape is the
+    one you run at 100 TB: the quadratic all-pairs comparison never
+    happens, and the exact check touches only the tiny candidate set.
+
+    The oracle computes plain exact Jaccard at the same threshold, so the
+    driver's hash compare doubles as a TOTAL-recall gate on the banding:
+    any true pair the LSH misses is a row-count mismatch, not an
+    unverifiable claim (recall is deterministic — fixed corpus, seeded
+    hashes — and total on all three test corpora).
     """
     sig = minhash_signatures(t)
     rows_per_band = N_PERM // N_BANDS
@@ -250,25 +296,35 @@ def dedup_minhash_lsh(spark, t):
         .select("a_id", "b_id")
         .distinct()
     )
-    sa = sig.select(
-        F.col("doc_id").alias("a_id"), *[F.col(f"h{p}").alias(f"ah{p}") for p in range(N_PERM)]
+    # Exact verification on candidates only. Jaccard is computed over the
+    # HASHED shingle sets (hashed_shingles) — identical to string-shingle
+    # Jaccard up to 64-bit collisions (see hashed_shingles docstring) —
+    # and the shingle relation is semi-joined down to candidate documents
+    # before the intersection join, so the verify stage shuffles
+    # O(candidate docs * shingles/doc) longs however large the corpus is.
+    hs = hashed_shingles(t)
+    cand_docs = (
+        cand_pairs.select(F.col("a_id").alias("doc_id"))
+        .union(cand_pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
     )
-    sb = sig.select(
-        F.col("doc_id").alias("b_id"), *[F.col(f"h{p}").alias(f"bh{p}") for p in range(N_PERM)]
+    hs_c = hs.join(cand_docs, "doc_id", "semi")
+    sizes = hs_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    common = (
+        cand_pairs
+        .join(hs_c.select(F.col("doc_id").alias("a_id"), "hsh"), "a_id")
+        .join(hs_c.select(F.col("doc_id").alias("b_id"), "hsh"), ["b_id", "hsh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
     )
-    agree = sum(
-        F.when(F.col(f"ah{p}") == F.col(f"bh{p}"), 1).otherwise(0)
-        for p in range(N_PERM)
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
     )
     return (
-        cand_pairs.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (agree / float(N_PERM)).alias("est_jaccard"),
-        )
-        .where(F.col("est_jaccard") >= 0.5)
+        common.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
     )
 
 
@@ -277,57 +333,128 @@ def dedup_minhash_lsh(spark, t):
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 64
-# <=3 is the classic 64-bit SimHash near-dup radius; measured on this corpus:
-# precision 0.88 / recall 0.60 against exact Jaccard>=0.4 pairs (hamming 6
-# drops precision to ~0.19 — shared vocabulary collides).
+# <=3 is the classic 64-bit SimHash near-dup radius; measured on this corpus
+# with the md5-derived signature: precision 1.00 / recall 0.48 against exact
+# Jaccard>=0.4 pairs at sf0.01 (wider radii rapidly lose precision — shared
+# vocabulary collides).
 HAMMING_MAX = 3
 
 
 def simhash_signatures(t) -> DataFrame:
-    """64-bit SimHash per doc: per-word xxhash64, each bit votes +/-1,
-    sign of the per-bit sum becomes the bit. Explode + one wide aggregate
-    (64 conditional sums — still a single map-side-combined shuffle)."""
+    """64-bit SimHash per doc as four 16-bit band columns (band0..band3):
+    per-word hash bits vote +/-1, sign of the per-bit sum becomes the bit.
+    Explode + one wide aggregate (64 conditional sums — still a single
+    map-side-combined shuffle).
+
+    The per-word hash is the first 64 bits of ``md5(word)`` read as 16 hex
+    digits of 4 bits each — chosen over xxhash64 because BOTH engines
+    compute it identically (DuckDB has md5 but not xxhash64), which is
+    what lets the driver oracle reproduce the signatures and makes this
+    operator hash-verifiable end to end. Bit ``b`` of a word is bit
+    ``b % 4`` of hex digit ``b // 4``; band ``i`` packs sign bits
+    ``16*i .. 16*i+15`` little-endian."""
     w = (
         t["documents"]
         .select("doc_id", F.explode(words_col()).alias("word"))
-        .select("doc_id", F.xxhash64("word").alias("h"))
+        .select("doc_id", F.md5("word").alias("hx"))
+    )
+    # One projection materializes the 16 hex-digit values (0..15) so the 64
+    # vote sums below are shift/mask on ints, not 64 substring scans.
+    digits = w.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"instr('0123456789abcdef', substring(hx, {j + 1}, 1)) - 1"
+            ).cast("int").alias(f"v{j}")
+            for j in range(16)
+        ],
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"v{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    per_doc = w.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    per_doc = digits.groupBy("doc_id").agg(*bit_sums)
+    bands = []
+    for i in range(4):
+        v = None
+        for u in range(16):
+            b = 16 * i + u
+            term = F.when(F.col(f"s{b}") > 0, F.lit(1 << u).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            v = term if v is None else v + term  # disjoint bits: sum = OR
+        bands.append(v.alias(f"band{i}"))
+    return per_doc.select("doc_id", *bands)
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash_signatures + the hamming<=HAMMING_MAX pair
+    set. The oracle skips the band join and compares ALL pairs — by
+    pigeonhole (<=3 differing bits across 4 bands leaves one band equal)
+    the Spark band join returns exactly this set, so the driver's hash
+    compare is a proof of the banding's completeness, not an
+    approximation."""
+    digit_cols = ",\n               ".join(
+        f"CAST(strpos('0123456789abcdef', substring(hx, {j + 1}, 1)) AS INT) - 1"
+        f" AS v{j}"
+        for j in range(16)
+    )
+    vote_sums = ",\n               ".join(
+        f"SUM(CASE WHEN ((v{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    band_cols = ",\n               ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{16 * i + u} > 0 THEN {1 << u} ELSE 0 END)"
+            for u in range(16)
         )
-        term = F.shiftleft(bit, b)
-        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR = OR
-    return per_doc.select("doc_id", sim.alias("simhash"))
+        + f" AS BIGINT) AS band{i}"
+        for i in range(4)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(a.band{i}, b.band{i}))" for i in range(4)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+                   FROM documents),
+        h AS (SELECT doc_id, MD5(word) AS hx FROM w),
+        d AS (SELECT doc_id,
+               {digit_cols}
+              FROM h),
+        v AS (SELECT doc_id,
+               {vote_sums}
+              FROM d GROUP BY doc_id),
+        sig AS (SELECT doc_id,
+               {band_cols}
+              FROM v)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST({hamming} AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {hamming} <= {HAMMING_MAX}
+    """
 
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64-dependent; validated in tests/test_dedup.py
+    oracle=_simhash_oracle(),
     covers="pipeline: SimHash near-dup candidates (band join + hamming filter)",
 )
 def dedup_simhash(spark, t):
     """Near-dup pairs by SimHash hamming distance <= 3, found via 16-bit
     band join — by pigeonhole, <=3 differing bits across 4 bands leaves at
-    least one band identical, so the band join has perfect recall at this
-    radius."""
+    least one band identical, so the band join has PERFECT recall at this
+    radius and the result provably equals the all-pairs hamming scan the
+    oracle runs (the driver hash compare checks exactly that)."""
     sig = simhash_signatures(t)
     # Same single-join shape as MinHash LSH: slim posexploded bucket table,
     # one equi-join on (band_idx, band_key), signatures joined back per side.
-    band_keys = F.array(
-        *[
-            F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-            for b in range(4)
-        ]
-    )
+    band_keys = F.array(*[F.col(f"band{i}") for i in range(4)])
     buckets = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
     )
@@ -341,9 +468,18 @@ def dedup_simhash(spark, t):
         .select("a_id", "b_id")
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"))
-    sb = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"))
-    hamming = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"band{i}").alias(f"a_band{i}") for i in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"band{i}").alias(f"b_band{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_band{i}").bitwiseXOR(F.col(f"b_band{i}")))
+        for i in range(4)
+    ).cast("long")
     return (
         cand_pairs.join(sa, "a_id")
         .join(sb, "b_id")

@@ -23,19 +23,32 @@ def test_ground_truth_nonempty(ground_truth_pairs):
     assert len(ground_truth_pairs) > 0
 
 
-def test_minhash_recall_on_strong_pairs(spark, ground_truth_pairs):
-    """LSH with 4 bands x 4 rows catches ~all pairs with true Jaccard >= 0.7
-    (collision prob 1-(1-j^4)^4 = 0.95 at j=0.7). Require >= 80% recall on
-    the strong pairs."""
-    strong = {p for p, j in ground_truth_pairs.items() if j >= 0.7}
-    if not strong:
-        pytest.skip("no pairs above 0.7 in this corpus")
-    cand = {
-        (r.a_id, r.b_id)
+def test_minhash_recall_is_total(spark, ground_truth_pairs):
+    """The registered output is band-candidates filtered by EXACT Jaccard
+    >= MINHASH_VERIFY_THRESHOLD, and its driver oracle is plain exact
+    Jaccard at that threshold — so the two agree iff banding recall is 1
+    on this corpus. That holds deterministically here (every true pair
+    sits at Jaccard >= 0.75, where 4x4-band collision prob is >= 0.96 and
+    the fixed seeds land every one); this test is the local tripwire that
+    fires before the driver compare would."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
+        MINHASH_VERIFY_THRESHOLD,
+    )
+
+    truth = {
+        p: j for p, j in ground_truth_pairs.items() if j >= MINHASH_VERIFY_THRESHOLD
+    }
+    assert truth, "corpus lost its planted near-dups?"
+    got = {
+        (r.a_id, r.b_id): r.jaccard
         for r in queries()["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
     }
-    recall = len(strong & cand) / len(strong)
-    assert recall >= 0.8, f"minhash recall {recall:.2f} on {len(strong)} strong pairs"
+    assert set(got) == set(truth), (
+        f"LSH+verify != exact truth: missed={set(truth) - set(got)} "
+        f"extra={set(got) - set(truth)}"
+    )
+    for p, j in truth.items():
+        assert abs(got[p] - j) < 1e-12
 
 
 def test_minhash_deterministic(spark):
