@@ -53,21 +53,25 @@ def events_json_extract(spark, t):
         FROM events
         GROUP BY 1, 2
     """,
-    covers="2.9 expansion (event-time tumbling window, F.window)",
+    covers="2.9 expansion (event-time tumbling window; scalar date_trunc key)",
 )
 def events_tumbling_window(spark, t):
-    """Hourly tumbling-window aggregate. Uses ``F.window`` (the streaming-
-    compatible form); hour windows align with DATE_TRUNC('hour')."""
+    """Hourly tumbling-window aggregate.
+
+    A fixed-width tumbling bucket IS ``date_trunc`` — so the batch form
+    groups on ``date_trunc('hour', ts)`` (a scalar timestamp key) rather
+    than ``F.window`` (which allocates a struct per row and groups on the
+    struct: measured 43.8x DuckDB at sf1 / 20.7x at sf10 purely from the
+    struct group key; the scalar key removes that overhead while producing
+    the identical result). ``F.window`` stays in the streaming twin
+    (streaming_entries.streaming_tumbling_hourly), where the struct key is
+    load-bearing for watermark eviction."""
     return (
         t["events"]
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), stable_sum("value").alias("total_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
         )
+        .agg(F.count("*").alias("n"), stable_sum("value").alias("total_value"))
     )
 
 
