@@ -496,12 +496,37 @@ def join_anti(spark, t):
     )
 
 
+def _parse_byte_conf(raw: str) -> int:
+    """Parse Spark's byte-string conf forms: plain ints, '10485760b',
+    '50MB', '1g' (case-insensitive, Spark's binary units). ADVICE r03:
+    ``int(...)`` alone raises on the human-readable forms Spark itself
+    renders, silently falling back to a hardcoded default."""
+    s = raw.strip().lower()
+    units = {
+        "tb": 1 << 40, "t": 1 << 40,
+        "gb": 1 << 30, "g": 1 << 30,
+        "mb": 1 << 20, "m": 1 << 20,
+        "kb": 1 << 10, "k": 1 << 10,
+        "b": 1,
+    }
+    for suffix, mult in units.items():
+        if s.endswith(suffix) and s[: -len(suffix)].lstrip("-").isdigit():
+            return int(s[: -len(suffix)]) * mult
+    return int(s)  # plain integer (may still raise: caller decides fallback)
+
+
 def _fits_broadcast(spark, df) -> bool:
     """Catalyst's own pre-AQE size estimate for ``df`` against the session
     broadcast threshold — the same comparison the planner makes."""
     try:
-        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        thr = _parse_byte_conf(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     except Exception:
+        import warnings
+
+        warnings.warn(
+            "unparseable spark.sql.autoBroadcastJoinThreshold; "
+            "falling back to 10MB for the cost-based plan choice"
+        )
         thr = 10 * 1024 * 1024
     if thr <= 0:
         return False

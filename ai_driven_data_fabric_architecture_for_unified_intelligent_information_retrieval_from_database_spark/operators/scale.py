@@ -100,14 +100,26 @@ def partition_pruned_daily_read(spark, t):
     PartitionFilters — directories outside the 3-day range are never
     opened, let alone read (pinned as a plan gate in tests/test_plans.py).
     At 100 TB with daily partitions this is the difference between
-    scanning 3 days and scanning 3 years."""
-    import tempfile
+    scanning 3 days and scanning 3 years.
+
+    The partitioned copy is written ONCE per source corpus (ADVICE r03:
+    mkdtemp per call leaked a directory and paid an untimed rewrite on
+    every bench repetition): the target path is derived from a digest of
+    the source file list, and the write is skipped when a completed copy
+    (_SUCCESS marker) is already there. Static test corpora make the
+    file-list digest a sufficient freshness key."""
+    import hashlib
+    import os
 
     from ..sources.sinks import write_partitioned
 
     day_events = t["events"].withColumn("day", F.col("ts").cast("date"))
-    path = tempfile.mkdtemp(prefix="events_daily_") + "/events_by_day"
-    write_partitioned(day_events, path, ["day"])
+    digest = hashlib.md5(
+        "\n".join(sorted(t["events"].inputFiles())).encode()
+    ).hexdigest()[:16]
+    path = f"/tmp/events_by_day_cache/{digest}/events_by_day"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_partitioned(day_events, path, ["day"])
     return (
         spark.read.parquet(path)
         .where(F.col("day").between("2024-01-10", "2024-01-12"))

@@ -171,11 +171,23 @@ def streaming_dedup_watermark(spark, sf_dir):
     than the watermark is evicted, which is what lets this run forever on
     an unbounded feed. The output projects the KEY columns (which row wins
     within a key depends on arrival order, a nondeterminism the key set
-    does not have), so the exact oracle is the distinct key set."""
+    does not have), so the exact oracle is the distinct key set.
+
+    Oracle-equality caveat (ADVICE r03): append-mode dropDuplicates equals
+    the distinct-key SQL only while no key arrives LATER than the
+    watermark allows — a multi-batch source could drop late keys or
+    re-emit evicted ones. Two defenses here: the staged source drains in
+    ONE AvailableNow micro-batch (single staged file, no
+    maxFilesPerTrigger), so eviction never fires mid-drain; and the
+    watermark delay (90 days) is wider than the bounded corpus's whole
+    time span, so even a multi-batch replay in arbitrary order could not
+    evict live state. An unbounded production feed would use a real
+    lateness bound (e.g. '1 hour') and accept the corresponding
+    late-drop semantics."""
     ev = sw.events_stream(spark, sf_dir)
     keyed = ev.withColumn("minute_ts", F.date_trunc("minute", F.col("ts")))
     dd = (
-        keyed.withWatermark("minute_ts", "1 hour")
+        keyed.withWatermark("minute_ts", "90 days")
         .dropDuplicates(["user_id", "event_type", "minute_ts"])
         .select("user_id", "event_type", "minute_ts")
     )

@@ -161,6 +161,19 @@ def _safe_identifier(table: str) -> str:
     return table
 
 
+def _split_qualified(table: str) -> tuple[str | None, str]:
+    """Split an (already validated) identifier into (schema, name).
+    information_schema's ``table_name`` never contains a schema, so a
+    dotted name must probe ``table_schema`` separately — comparing the
+    full dotted string against ``table_name`` would report every
+    qualified table as absent."""
+    t = _safe_identifier(table).replace("'", "''").lower()
+    if "." in t:
+        schema, name = t.split(".", 1)
+        return schema, name
+    return None, t
+
+
 def table_exists_sql(vendor: str, table: str) -> str:
     """The reference's per-vendor existence probe, as a SELECT.
 
@@ -168,20 +181,35 @@ def table_exists_sql(vendor: str, table: str) -> str:
     '<lower>'``) rather than by lowercasing the stored literal — vendors
     with case-sensitive catalogs (MySQL on Linux, quoted Postgres
     identifiers) store mixed-case names that a lowercased equality would
-    falsely report as absent.
+    falsely report as absent. Schema-qualified names probe
+    ``table_schema`` and ``table_name`` separately.
     """
-    t = _safe_identifier(table).replace("'", "''").lower()
+    schema, t = _split_qualified(table)
     if vendor == "postgresql":
+        extra = (
+            f" AND LOWER(table_schema) = '{schema}'" if schema is not None else ""
+        )
         return (
             "SELECT COUNT(*) AS n FROM information_schema.tables "
-            f"WHERE LOWER(table_name) = '{t}'"
+            f"WHERE LOWER(table_name) = '{t}'{extra}"
         )
     if vendor == "mysql":
+        scope = (
+            f"LOWER(table_schema) = '{schema}'"
+            if schema is not None
+            else "table_schema = DATABASE()"
+        )
         return (
             "SELECT COUNT(*) AS n FROM information_schema.tables "
-            f"WHERE LOWER(table_name) = '{t}' AND table_schema = DATABASE()"
+            f"WHERE LOWER(table_name) = '{t}' AND {scope}"
         )
     if vendor == "sqlite":
+        if schema is not None:
+            # sqlite_master is per-attached-database; a dotted probe would
+            # silently never match, so refuse rather than mislead.
+            raise ValueError(
+                f"sqlite existence probe does not support qualified names: {table!r}"
+            )
         return (
             "SELECT COUNT(*) AS n FROM sqlite_master "
             f"WHERE type='table' AND LOWER(name) = '{t}'"
@@ -192,23 +220,36 @@ def table_exists_sql(vendor: str, table: str) -> str:
 def table_columns_sql(vendor: str, table: str) -> str:
     """The reference's per-vendor structure probe, as a SELECT with
     normalized output columns (column_name, data_type, is_nullable).
-    Case-insensitive on the probe side, like :func:`table_exists_sql`."""
-    t = _safe_identifier(table).replace("'", "''").lower()
+    Case-insensitive on the probe side, like :func:`table_exists_sql`;
+    schema-qualified names probe table_schema/table_name separately."""
+    schema, t = _split_qualified(table)
     if vendor == "postgresql":
+        extra = (
+            f" AND LOWER(table_schema) = '{schema}'" if schema is not None else ""
+        )
         return (
             "SELECT column_name, data_type, is_nullable "
             "FROM information_schema.columns "
-            f"WHERE LOWER(table_name) = '{t}' ORDER BY ordinal_position"
+            f"WHERE LOWER(table_name) = '{t}'{extra} ORDER BY ordinal_position"
         )
     if vendor == "mysql":  # DESCRIBE's queryable twin
+        scope = (
+            f"LOWER(table_schema) = '{schema}'"
+            if schema is not None
+            else "table_schema = DATABASE()"
+        )
         return (
             "SELECT column_name, data_type, is_nullable "
             "FROM information_schema.columns "
-            f"WHERE LOWER(table_name) = '{t}' AND table_schema = DATABASE() "
+            f"WHERE LOWER(table_name) = '{t}' AND {scope} "
             "ORDER BY ordinal_position"
         )
     if vendor == "sqlite":  # PRAGMA table_info's queryable twin; pragma
         # lookup is itself case-insensitive, keep the literal as given
+        if schema is not None:
+            raise ValueError(
+                f"sqlite structure probe does not support qualified names: {table!r}"
+            )
         return (
             "SELECT name AS column_name, type AS data_type, "
             "CASE WHEN \"notnull\" = 0 THEN 'YES' ELSE 'NO' END AS is_nullable "

@@ -119,6 +119,24 @@ def test_sqlite_probes_use_master_and_pragma():
     assert "pragma_table_info" in cn.table_columns_sql("sqlite", "employees")
 
 
+def test_qualified_names_probe_schema_and_table_separately():
+    """ADVICE r03: information_schema.table_name never contains a schema,
+    so 'warehouse.employees' must become table_schema='warehouse' AND
+    table_name='employees' — not a dotted-string equality that can never
+    match."""
+    for fn in (cn.table_exists_sql, cn.table_columns_sql):
+        pg = fn("postgresql", "Warehouse.Employees")
+        assert "LOWER(table_schema) = 'warehouse'" in pg
+        assert "LOWER(table_name) = 'employees'" in pg
+        assert "warehouse.employees" not in pg
+        my = fn("mysql", "warehouse.employees")
+        assert "LOWER(table_schema) = 'warehouse'" in my
+        assert "LOWER(table_name) = 'employees'" in my
+        assert "DATABASE()" not in my  # explicit schema overrides the default
+        with pytest.raises(ValueError):
+            fn("sqlite", "warehouse.employees")
+
+
 def test_probe_rejects_non_identifier_names():
     """Non-identifier table names are rejected outright (ADVICE r02): the
     probes interpolate the name into SQL text, and the COUNT query cannot

@@ -211,6 +211,39 @@ def test_q18_joins_are_all_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_parse_byte_conf_handles_spark_size_forms(spark):
+    """ADVICE r03: the threshold conf may render as '10485760b' or be set
+    as '50MB'; int() alone silently fell back to a hardcoded 10MB and the
+    cost-based plan choice ignored the session's real threshold."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.relational import (
+        _fits_broadcast,
+        _parse_byte_conf,
+    )
+
+    assert _parse_byte_conf("10485760") == 10 * 1024 * 1024
+    assert _parse_byte_conf("10485760b") == 10 * 1024 * 1024
+    assert _parse_byte_conf("50MB") == 50 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("2k") == 2048
+    assert _parse_byte_conf("-1") == -1
+    with pytest.raises(ValueError):
+        _parse_byte_conf("lots")
+    # A human-readable session threshold must now actually steer the
+    # broadcast decision rather than silently falling back.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    t = __import__(
+        "ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog",
+        fromlist=["register_views"],
+    ).register_views(spark, SF_ORACLE)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "512MB")
+        assert _fits_broadcast(spark, t["orders"])
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1k")
+        assert not _fits_broadcast(spark, t["orders"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_join_star_adapts_to_broadcast_threshold(spark):
     """join_star picks its plan from Catalyst's orders-size estimate: the
     plain broadcast tree while orders fits the threshold, the staged
