@@ -210,6 +210,26 @@ def main() -> None:
     # absorb session startup.
     qs["agg_count_star"](spark, sf_dir).collect()
 
+    # Scale guard (untimed): the stable_sum micro-unit encoding overflows
+    # 2^63 when a single group's total passes ~9.2e12 value units — ~sf40
+    # for this corpus's global revenue. Past the small-scale mode, verify
+    # the headroom on the widest money expression actually benchmarked so
+    # a too-large corpus aborts loudly here instead of producing a wrapped
+    # (ANSI-off) or failing (ANSI-on) sum mid-suite.
+    if largest >= 64 * 1024 * 1024:
+        from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.functions.numerics import (
+            assert_microunit_headroom,
+        )
+        from pyspark.sql import functions as F
+
+        lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        charge = (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        )
+        assert_microunit_headroom(lineitem.select(charge.alias("charge")), "charge")
+
     # Three passes per query, report the min: pass 1 pays whole-stage-codegen
     # compilation and OS page-cache warmup (cached thereafter), so later
     # passes measure steady-state execution — the number that actually

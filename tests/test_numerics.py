@@ -42,6 +42,31 @@ def test_guard_raises_past_range(spark):
         assert_microunit_headroom(df, "x")
 
 
+def test_guard_trips_before_wrapped_sum(spark):
+    """The failure the guard exists to prevent: with ANSI off, a long SUM
+    past 2^63 micro-units wraps silently to a *wrong* total. Prove the
+    guard's COUNT x MAX bound fires on exactly such an input, so any
+    caller that checks first can never see the wrapped number."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.functions.numerics import (
+        stable_sum,
+    )
+
+    # 4096 rows x 3e12 = 1.2e16 value units -> 1.2e22 micro-units >> 2^63.
+    df = spark.range(4096).select(F.lit(3.0e12).alias("x"))
+    true_total = 4096 * 3.0e12
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        wrapped = df.agg(stable_sum("x").alias("s")).head()["s"]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    # the wrap really happens (the sum is not even close to the truth) ...
+    assert abs(wrapped - true_total) > 1e15
+    # ... and the guard refuses the same input before any sum runs.
+    with pytest.raises(OverflowError, match="stable_sum_wide"):
+        assert_microunit_headroom(df, "x")
+
+
 def test_wide_form_exact_past_microunit_range(spark):
     # 200 rows x 1e11 = 2e13 total: micro-units would need 2e19 > 2^63
     # (guard refuses), while each value still fits decimal(18,6) and the
