@@ -211,6 +211,20 @@ def test_q18_joins_are_all_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_q13_never_touches_customer_rows(spark):
+    """Q13's zero-order customers come from a scalar COUNT(customer) minus
+    the ROLLUP grand total — the plan must not join or shuffle the customer
+    table (its scan reads no data columns) and must keep exactly one
+    custkey exchange over the pre-aggregated orders."""
+    plan = plan_of(spark, "tpch_q13_customer_distribution")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") == 0, tree
+    assert "Expand" in plan or "expand" in plan, plan[:2000]  # rollup grouping sets
+    # customer participates only as COUNT(*): its scan must read zero columns
+    sl = [l for l in plan.splitlines() if "ReadSchema" in l and "struct<>" in l]
+    assert sl, plan[:3000]
+
+
 def test_parse_byte_conf_handles_spark_size_forms(spark):
     """ADVICE r03: the threshold conf may render as '10485760b' or be set
     as '50MB'; int() alone silently fell back to a hardcoded 10MB and the
