@@ -311,8 +311,15 @@ def similarity_bucketed_ann(spark, t):
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "cand_id")
+    # The probe side is |queries| * (B+1) rows — always tiny relative to
+    # the corpus — but Catalyst's size estimate for filter+explode over a
+    # parquet array column is way off (observed: planned as a SortMergeJoin
+    # that shuffled and sorted ALL corpus vectors against 280 probe rows,
+    # 1.8s of a 2.3s query at sf10). Broadcast it explicitly: the corpus
+    # side then streams map-side with no exchange, which is also the only
+    # plan that survives a 1e9-vector corpus.
     return (
-        a.join(c, "bucket")
+        F.broadcast(a).join(c, "bucket")
         .where(F.col("q_id") != F.col("cand_id"))
         .select("q_id", "cand_id", cosine_expr("q_emb", "c_emb").alias("cos_sim"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
