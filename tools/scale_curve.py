@@ -48,15 +48,25 @@ def main() -> None:
     results = []
     for d in dirs:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=d)
-        # The quadratic ground-truth ops (all-pairs-in-hot-shingles jaccard)
-        # cost >10 min PER ENGINE past sf1; they are measured through sf1 —
+        # The quadratic ground-truth op (all-pairs-in-hot-shingles jaccard)
+        # costs >10 min PER ENGINE past sf1; it is measured through sf1 —
         # where Spark is already below the DuckDB baseline — and skipped
         # beyond, transparently (absent from both engines' query maps).
+        # Same rule for dedup_minhash_lsh since round 4 gave it a real SQL
+        # oracle: the ORACLE side (16 minhash permutations + banding +
+        # exact-Jaccard verify in one SQL statement) is the bottleneck —
+        # 10.8 s at sf1 vs Spark's 0.8 s, and effectively unbounded at
+        # sf10 (killed after 5 min) — so past sf1 neither engine runs it.
         if d.rsplit("sf", 1)[-1].replace(".", "").isdigit() and float(d.rsplit("sf", 1)[-1]) > 1:
-            env["SPARK_GRAFT_BENCH_SKIP"] = "dedup_ngram_jaccard"
+            env["SPARK_GRAFT_BENCH_SKIP"] = "dedup_ngram_jaccard,dedup_minhash_lsh"
         spark = run_json([sys.executable, "bench.py"], env=env)
         duck = run_json([sys.executable, "tools/bench_duckdb.py", d], env=env)
         results.append({"sf_dir": d, "spark": spark, "duckdb": duck})
+        # Partial dump after every scale: a late-scale failure must not
+        # discard the completed measurements (an sf10 oracle hang cost a
+        # full session's sf0.1+sf1 numbers in round 4).
+        with open(os.path.join(REPO, "scale_curve.json"), "w") as f:
+            json.dump(results, f, indent=2)
         print(
             f"# sf={spark['sf']}: spark={spark['value']}s "
             f"duckdb={duck['value']}s ratio={spark['value']/duck['value']:.1f}x",
