@@ -23,7 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.numerics import sql_stable_avg, sql_stable_sum, stable_avg, stable_sum
+from ..functions.numerics import (
+    micro_units,
+    sql_stable_avg,
+    sql_stable_sum,
+    stable_avg,
+    stable_sum,
+)
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -588,11 +594,9 @@ def join_star_flagship(spark, t):
                 F.count("*").alias("n_items"),
             )
         )
-    micro = F.lit(1e6)
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(
-            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * micro)
-            .cast("long")
+            micro_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         ).alias("rev_micro"),
         F.count("*").alias("n_items"),
     )
@@ -613,7 +617,7 @@ def join_star_flagship(spark, t):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "c_mktsegment")
         .agg(
-            (F.sum("rev_micro") / micro).alias("revenue"),
+            (F.sum("rev_micro") / F.lit(1e6)).alias("revenue"),
             F.sum("n_items").alias("n_items"),
         )
     )

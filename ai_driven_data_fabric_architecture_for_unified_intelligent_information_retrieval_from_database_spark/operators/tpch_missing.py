@@ -27,16 +27,15 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.numerics import micro_units as _micro
 from ..functions.numerics import sql_stable_sum, stable_sum
 from .registry import query
 
 #: exact micro-unit accumulator (see functions/numerics.py module docstring):
 #: share thresholds compare long-derived doubles, never order-dependent sums.
+#: The SQL twin keeps ROUND (cheap in DuckDB); the Spark side uses the
+#: codegen-friendly micro_units form — value-identical (numerics.py).
 _MICRO = "CAST(ROUND({expr} * 1000000.0) AS BIGINT)"
-
-
-def _micro(col):
-    return F.round(col * F.lit(1000000.0)).cast("long")
 
 
 @query(
