@@ -112,22 +112,45 @@ def test_whole_stage_codegen_covers_q1(spark):
     assert "WholeStageCodegen" in plan, plan[:1500]
 
 
-def test_q4_exists_is_preaggregated_max_rollup(spark):
-    """The EXISTS is answered by a per-orderkey MAX(l_shipdate) rollup, so
-    the orderkey exchange gets a map-side partial combine (one row per
-    order, not every lineitem), and the hand-derived +90d lower bound must
-    reach the lineitem scan as a pushed filter."""
-    plan = plan_of(spark, "tpch_q4_order_priority")
-    assert "partial_max" in plan, plan[:2000]
-    assert "GreaterThan(l_shipdate,1997-04-01" in plan, plan[:2000]
+def test_q4_two_forms(spark):
+    """Q4 is cost-chosen. Small SF: the qualifying-orders window broadcasts
+    into the pruned lineitem scan (no shuffle join); in both forms the
+    hand-derived +90d lower bound must reach the lineitem scan as a pushed
+    filter. Threshold off: the EXISTS is answered by a per-orderkey
+    MAX(l_shipdate) rollup (map-side partial combine — one row per order,
+    not every lineitem)."""
+    plan_small = plan_of(spark, "tpch_q4_order_priority")
+    assert "BroadcastHashJoin" in plan_small, plan_small[:2000]
+    assert "SortMergeJoin" not in plan_small, plan_small[:2000]
+    assert "GreaterThan(l_shipdate,1997-04-01" in plan_small, plan_small[:2000]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_big = plan_of(spark, "tpch_q4_order_priority")
+        assert "partial_max" in plan_big, plan_big[:2000]
+        assert "GreaterThan(l_shipdate,1997-04-01" in plan_big, plan_big[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_q3_aggregates_below_the_join(spark):
-    """Revenue is pre-aggregated per orderkey BELOW the join (partial_sum
-    before the exchange) and the top-10 stays TakeOrderedAndProject."""
-    plan = plan_of(spark, "tpch_q3_shipping_priority")
-    assert "partial_sum" in plan, plan[:2000]
-    assert "TakeOrderedAndProject" in plan, plan[:2000]
+def test_q3_two_forms(spark):
+    """Q3 is cost-chosen. Small SF: the BUILDING-semi-joined orders window
+    broadcasts into the filtered lineitem scan and only survivors are
+    aggregated (no shuffle join). Threshold off: revenue pre-aggregates per
+    orderkey BELOW the join (partial_sum before the exchange). The top-10
+    stays TakeOrderedAndProject in both."""
+    plan_small = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan_small, plan_small[:2000]
+    assert "SortMergeJoin" not in plan_small, plan_small[:2000]
+    assert "TakeOrderedAndProject" in plan_small, plan_small[:2000]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_big = plan_of(spark, "tpch_q3_shipping_priority")
+        assert "partial_sum" in plan_big, plan_big[:2000]
+        assert "TakeOrderedAndProject" in plan_big, plan_big[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_q5_single_big_shuffle_join(spark):
@@ -254,6 +277,42 @@ def test_parse_byte_conf_handles_spark_size_forms(spark):
         assert _fits_broadcast(spark, t["orders"])
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1k")
         assert not _fits_broadcast(spark, t["orders"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_fits_broadcast_counted_probes_the_borderline(spark):
+    """The counted gate: static-fit passes outright; within the 8x probe
+    band one COUNT decides from rows x defaultSize; beyond the band the
+    fallback is taken without probing; a disabled threshold is never
+    broadcastable."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.relational import (
+        _fits_broadcast_counted,
+    )
+
+    t = __import__(
+        "ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog",
+        fromlist=["register_views"],
+    ).register_views(spark, SF_ORACLE)
+    df = t["orders"].select("o_orderkey")
+    est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    rows = df.count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(est + 1))
+        assert _fits_broadcast_counted(spark, df)  # static fit, no probe
+        # borderline (thr = est-1 puts the estimate just past the static
+        # check but inside the 8x band): the COUNT probe must decide, and
+        # its decision is rows x 8 bytes against the threshold.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(est - 1))
+        assert _fits_broadcast_counted(spark, df) == (rows * 8 <= est - 1)
+        # far past the band: no probe, straight to the fallback plan
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(max(est // 16, 1))
+        )
+        assert not _fits_broadcast_counted(spark, df)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert not _fits_broadcast_counted(spark, df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
