@@ -188,6 +188,16 @@ def tpch_q8(spark, t):
     """Market share of one supplier nation within a region/part-type market.
     Eight-way star join; the share is a ratio of two exact decimal sums so
     both engines derive bit-identical doubles.
+
+    Every dimension broadcast carries only the columns the join needs
+    (PROMO partkeys, (suppkey, nationkey), nation roles). Cost-chosen fact
+    side: the qualifying orders slice — two-year window semi-joined to
+    AMERICA customers — is ~1/15 of orders, so while it passes
+    :func:`_fits_broadcast_counted` it broadcasts into the PROMO lineitem
+    slice and the whole query runs broadcast-only with the 2-row aggregate
+    as its single exchange (measured 2.25 s -> 1.40 s at sf10); past the
+    threshold the orderkey/custkey shuffle joins take over (the 100 TB
+    shape).
     """
     l, p, s, o, c = t["lineitem"], t["part"], t["supplier"], t["orders"], t["customer"]
     n1 = t["nation"].select(
@@ -203,9 +213,49 @@ def tpch_q8(spark, t):
     )
     p = p.where(F.col("p_type") == "PROMO")
     volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+
+    def share(base):
+        return base.groupBy("o_year").agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+
+    am_nk = n2.join(
+        F.broadcast(r), F.col("n2_region") == F.col("r_regionkey")
+    ).select("n2_key")
+    c_am = c.join(
+        F.broadcast(am_nk), c.c_nationkey == F.col("n2_key"), "left_semi"
+    ).select("c_custkey")
+    qual = o.join(
+        F.broadcast(c_am), o.o_custkey == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey", "o_orderdate")
+    if _fits_broadcast_counted(spark, qual):
+        base = (
+            l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+            .join(
+                F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                l.l_suppkey == F.col("s_suppkey"),
+            )
+            .join(F.broadcast(qual), l.l_orderkey == qual.o_orderkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .select(
+                _year(F.col("o_orderdate")).alias("o_year"),
+                volume.alias("volume"),
+                F.col("supp_nation"),
+            )
+        )
+        return share(base)
     base = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            l.l_suppkey == F.col("s_suppkey"),
+        )
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -217,13 +267,7 @@ def tpch_q8(spark, t):
             F.col("supp_nation"),
         )
     )
-    zero = F.lit(0).cast("decimal(18,6)")
-    return base.groupBy("o_year").agg(
-        (
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
-            / F.sum("volume").cast("double")
-        ).alias("mkt_share")
-    )
+    return share(base)
 
 
 @query(
@@ -556,7 +600,10 @@ def tpch_q22(spark, t):
     replaces the missing phone country code, and the anti-join is against
     urgent orders because this corpus gives every customer at least one
     order). Scalar average broadcasts as a 1-row frame; NOT EXISTS is a
-    left-anti join on the filtered orders key set.
+    left-anti join on the filtered orders key set — broadcast while the
+    urgent custkey column passes :func:`_fits_broadcast_counted` (the anti
+    build side tolerates duplicate keys, so no pre-distinct shuffle),
+    shuffled past it.
     """
     c, n = t["customer"], t["nation"]
     o = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
@@ -566,10 +613,13 @@ def tpch_q22(spark, t):
             (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count("c_acctbal")).alias("ab")
         )
     )
+    okeys = o.select("o_custkey")
+    if _fits_broadcast_counted(spark, okeys):
+        okeys = F.broadcast(okeys)
     return (
         c.join(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("ab"))
-        .join(o, c.c_custkey == o.o_custkey, "anti")
+        .join(okeys, c.c_custkey == F.col("o_custkey"), "anti")
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name")
         .agg(

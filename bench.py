@@ -185,7 +185,18 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(split),
-            "spark.sql.shuffle.partitions": "16" if largest < 64 * 1024 * 1024 else "64",
+            # At-scale shuffles run ONE partition per core: measured at
+            # sf10 vs 64 partitions it cut every shuffle-heavy query
+            # (join_star -21%, q5 -25%, q13 -33%, sessionize -49%) — with
+            # 32 threads in one JVM the extra waves buy no parallelism,
+            # only task dispatch and merge overhead, and AQE's coalescing
+            # does not recover the difference. A real cluster sizes this
+            # to its core count x 2-3 waves instead.
+            "spark.sql.shuffle.partitions": (
+                "16"
+                if largest < 64 * 1024 * 1024
+                else str(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            ),
             # AQE's value is runtime re-planning of LARGE shuffles
             # (coalescing, skew splitting, broadcast demotion); at sf0.1
             # every join already broadcasts and the only thing AQE adds is
