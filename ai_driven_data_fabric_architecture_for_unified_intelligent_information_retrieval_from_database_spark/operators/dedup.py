@@ -104,11 +104,11 @@ def _distinct_shingles(t) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.4
 
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-        WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+#: Shared CTE chain producing the exact-Jaccard near-dup pair list
+#: (``jpairs``: a_id < b_id, n_common, jaccard >= threshold). Used verbatim
+#: by the pair-list oracle and as the edge source of the
+#: connected-components oracle below.
+_PAIR_CTES = f"""w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
         ii AS (SELECT doc_id, ws,
                       UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
                FROM w),
@@ -118,25 +118,21 @@ JACCARD_THRESHOLD = 0.4
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT a_id, b_id, n_common,
-               CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
-        FROM pairs
-        JOIN sizes sa ON a_id = sa.doc_id
-        JOIN sizes sb ON b_id = sb.doc_id
-        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= {JACCARD_THRESHOLD}
-    """,
-    covers="pipeline: near-dup detection, exact 3-gram Jaccard (LSH ground truth)",
-)
-def dedup_ngram_jaccard(spark, t):
-    """All near-duplicate pairs by exact 3-shingle Jaccard >= 0.4.
+        ),
+        jpairs AS (
+            SELECT a_id, b_id, n_common,
+                   CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON a_id = sa.doc_id
+            JOIN sizes sb ON b_id = sb.doc_id
+            WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                  >= {JACCARD_THRESHOLD}
+        )"""
 
-    The shingle self-join is the textbook inverted-index intersection:
-    shuffle on shingle, pairs emerge only where sets actually overlap.
-    Correct at any scale but quadratic in hot shingles — the LSH variants
-    below exist because of exactly that; this one is the truth they are
-    measured against.
-    """
+
+def _jaccard_pair_df(t) -> DataFrame:
+    """Spark twin of the ``jpairs`` CTE: all exact 3-shingle Jaccard pairs
+    at or above the threshold, a_id < b_id."""
     sh = _distinct_shingles(t)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # Shingles present in only one document cannot contribute a pair;
@@ -161,6 +157,115 @@ def dedup_ngram_jaccard(spark, t):
         .join(sb, F.col("b_id") == F.col("sb.doc_id"))
         .select("a_id", "b_id", "n_common", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_PAIR_CTES}
+        SELECT a_id, b_id, n_common, jaccard FROM jpairs
+    """,
+    covers="pipeline: near-dup detection, exact 3-gram Jaccard (LSH ground truth)",
+)
+def dedup_ngram_jaccard(spark, t):
+    """All near-duplicate pairs by exact 3-shingle Jaccard >= 0.4.
+
+    The shingle self-join is the textbook inverted-index intersection:
+    shuffle on shingle, pairs emerge only where sets actually overlap.
+    Correct at any scale but quadratic in hot shingles — the LSH variants
+    below exist because of exactly that; this one is the truth they are
+    measured against.
+    """
+    return _jaccard_pair_df(t)
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+        WITH RECURSIVE {_PAIR_CTES},
+        edges AS (
+            SELECT a_id AS a, b_id AS b FROM jpairs
+            UNION ALL
+            SELECT b_id, a_id FROM jpairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+        )
+        SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+    """,
+    covers="pipeline: near-dup CLUSTERING — connected components over the "
+    "verified pair graph (iterative min-label propagation)",
+)
+def dedup_components(spark, t):
+    """Duplicate clusters: connected components over the exact-Jaccard pair
+    graph, labeling every clustered document with the minimum doc_id
+    reachable from it (the canonical representative a keep-one dedup stage
+    retains).
+
+    Iterative min-label propagation, the distributed-systems classic: each
+    round every node takes the min of its own label and its neighbors';
+    convergence (no label changed) is checked with a driver-side COUNT,
+    which is a scalar per round, not a collect of data rows. Lineage is cut
+    with eager ``localCheckpoint`` each round — without it round k would
+    re-execute the full shingle self-join k times and the plan would grow
+    unboundedly (the standard Spark idiom for iterative algorithms; a
+    cluster deployment would use ``checkpoint`` to HDFS instead for fault
+    tolerance). Rounds needed = component diameter; near-dup clusters are
+    dense (near-cliques around a template), so this converges in 2-3
+    rounds on text corpora. A hard cap guards adversarial chain graphs —
+    for those, the log-round large-star/small-star variant (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") is the drop-in
+    upgrade.
+
+    The DuckDB oracle computes the same fixpoint as a recursive CTE over
+    the identical ``jpairs`` edge list.
+    """
+    pairs = _jaccard_pair_df(t).select("a_id", "b_id")
+    edges = pairs.unionAll(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("a_id").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(50):
+        neighbor_min = (
+            edges.join(labels, edges.b_id == labels.node)
+            .groupBy(edges.a_id)
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("a_id"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "dedup_components: min-label propagation did not converge in 50 "
+            "rounds — pathological chain graph; switch to large-star/small-star"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
 
 

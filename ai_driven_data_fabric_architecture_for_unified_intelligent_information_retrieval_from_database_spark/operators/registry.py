@@ -53,11 +53,21 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: already covers all 124 entries; from here the window tracks churn, not
 #: coverage. Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
+    # round-4 NEW operators (never driver-sampled)
+    "dedup_components",
+    "streaming_user_profile",
     # round-4 behavior changes: LSH entries now emit exact-verified outputs
     # with full oracles; tumbling-window group key, q13 rollup, bucketed-ANN
-    # probe, daily-read caching, watermark widening all touched this round
+    # probe, daily-read caching, watermark widening all touched this round;
+    # q3/q4/q8/q22 got cost-chosen broadcast forms and every stable_sum
+    # consumer rides the new micro-unit encoding (q1 most of all)
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
+    "tpch_q22_global_sales_opportunity",
     "events_tumbling_window",
     "tpch_q13_customer_distribution",
     "similarity_bucketed_ann",

@@ -193,3 +193,52 @@ def streaming_dedup_watermark(spark, sf_dir):
     )
     out = sw.run_available_now(dd, "reg_stream_dedup", output_mode="append")
     return _ntz(out, "minute_ts")
+
+
+@query_sfdir(
+    "streaming_user_profile",
+    oracle="""
+        WITH last AS (
+            SELECT user_id, event_type AS last_event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT e.user_id,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(e.value * 1000000.0) AS BIGINT)) / 1000000.0
+                   AS total_value,
+               COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS n_purchases,
+               MAX(l.last_event_type) AS last_event_type
+        FROM events e
+        JOIN last l ON e.user_id = l.user_id AND l.rn = 1
+        GROUP BY e.user_id
+    """,
+    covers="2.10/2.9 expansion: custom stateful streaming operator "
+    "(applyInPandasWithState, Arrow-batched per-key state fold)",
+)
+def streaming_user_profile(spark, sf_dir):
+    """Running per-user profile via ``applyInPandasWithState`` — the escape
+    hatch for stream semantics the built-in windowed aggregations cannot
+    express (streaming/stateful.py). The state store shuffles events by
+    user_id once; each micro-batch folds its events into the persisted
+    per-user state with one vectorized pandas reduction per key and emits
+    the updated profile row.
+
+    Exactness: the value total accumulates in micro-units (the numerics.py
+    encoding), and last_event_type follows the total (ts, event_id) order
+    — both are therefore independent of how the engine slices micro-
+    batches, which is what makes an exact SQL oracle possible for a
+    stateful Python operator. Update mode emits one row per (key, batch);
+    the staged single-file source drains in one AvailableNow batch, so the
+    materialized sink holds exactly the final profile per user (the same
+    single-batch contract streaming_dedup_watermark documents; an
+    unbounded feed would read the LATEST row per key downstream)."""
+    from ..streaming import stateful as st
+
+    ev = sw.events_stream(spark, sf_dir)
+    out = sw.run_available_now(
+        st.user_profile_stream(ev), "reg_stream_profile", output_mode="update"
+    )
+    return out

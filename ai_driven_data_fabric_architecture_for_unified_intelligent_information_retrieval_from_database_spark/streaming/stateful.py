@@ -39,56 +39,79 @@ PROFILE_SCHEMA = StructType(
     ]
 )
 
-#: Persisted state per user. last_ts_micros orders batches so
-#: last_event_type is deterministic regardless of batch slicing.
+#: Persisted state per user. (last_ts_micros, last_event_id) orders events
+#: totally, so last_event_type is deterministic regardless of batch
+#: slicing; total value accumulates in exact micro-units (the same
+#: encoding as functions/numerics.py) so the emitted double is
+#: order-independent and oracle-reproducible, not a float64 fold whose
+#: value depends on how the engine sliced the batches.
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_micro", LongType()),
         StructField("n_purchases", LongType()),
         StructField("last_event_type", StringType()),
         StructField("last_ts_micros", LongType()),
+        StructField("last_event_id", LongType()),
     ]
 )
 
 
-def _update_profile(
-    key: Tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold this batch's events for one user into the persisted profile and
-    emit the updated row. Vectorized: one pandas reduction per (key, batch),
-    never per event."""
-    if state.exists:
-        n_events, total_value, n_purchases, last_type, last_ts = state.get
-    else:
-        n_events, total_value, n_purchases, last_type, last_ts = 0, 0.0, 0, None, -1
+def _make_update_profile():
+    """Build the per-key state-fold function as a LOCAL closure: cloudpickle
+    serializes local functions by value, so the Python workers never need
+    this package importable on their own sys.path (a module-level function
+    pickles as a module reference and raises ModuleNotFoundError on any
+    worker whose PYTHONPATH lacks the repo — e.g. a driver launched from
+    another directory)."""
+    import pandas as pd
 
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        n_events += int(len(pdf))
-        # float64 pandas sum; the batch-equivalence test allows for
-        # last-bit association differences vs the SQL aggregate
-        total_value += float(pdf["value"].sum())
-        n_purchases += int((pdf["event_type"] == "purchase").sum())
-        ts_micros = pdf["ts"].astype("int64") // 1000
-        i_max = int(ts_micros.idxmax())
-        if int(ts_micros.loc[i_max]) >= last_ts:
-            last_ts = int(ts_micros.loc[i_max])
-            last_type = str(pdf["event_type"].loc[i_max])
+    def _update_profile(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Fold this batch's events for one user into the persisted profile
+        and emit the updated row. Vectorized: one pandas reduction per
+        (key, batch), never per event."""
+        if state.exists:
+            n_events, total_micro, n_purchases, last_type, last_ts, last_eid = state.get
+        else:
+            n_events, total_micro, n_purchases, last_type, last_ts, last_eid = (
+                0, 0, 0, None, -1, -1,
+            )
 
-    state.update((n_events, total_value, n_purchases, last_type, last_ts))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n_events],
-            "total_value": [total_value],
-            "n_purchases": [n_purchases],
-            "last_event_type": [last_type],
-        }
-    )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_events += int(len(pdf))
+            # exact micro-unit accumulation (see numerics.py): round-half-
+            # away recovers the true integer of value*1e6, so the running
+            # total is associative across any batch slicing
+            vals = pdf["value"].dropna()
+            total_micro += int((vals * 1e6).round().astype("int64").sum())
+            n_purchases += int((pdf["event_type"] == "purchase").sum())
+            ts_micros = pdf["ts"].astype("int64") // 1000
+            order = list(zip(ts_micros.tolist(), pdf["event_id"].tolist()))
+            i_max = max(range(len(order)), key=order.__getitem__)
+            if order[i_max] >= (last_ts, last_eid):
+                last_ts, last_eid = order[i_max]
+                last_type = str(pdf["event_type"].iloc[i_max])
+
+        state.update(
+            (n_events, total_micro, n_purchases, last_type, last_ts, last_eid)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "total_value": [total_micro / 1e6],
+                "n_purchases": [n_purchases],
+                "last_event_type": [last_type],
+            }
+        )
+
+    return _update_profile
 
 
 def user_profile_stream(events: DataFrame) -> DataFrame:
@@ -100,7 +123,7 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
     time timeout to evict idle keys on a churning keyspace).
     """
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_profile,
+        _make_update_profile(),
         outputStructType=PROFILE_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
