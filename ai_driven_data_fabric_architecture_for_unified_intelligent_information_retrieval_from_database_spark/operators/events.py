@@ -219,3 +219,49 @@ def events_json_schema_parse(spark, t):
         F.max("p.k").alias("max_k"),
         F.sum("p.k").cast("bigint").alias("sum_k"),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS first_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        )
+        SELECT v.user_id, v.first_view, MIN(e.ts) AS first_purchase
+        FROM v
+        JOIN events e
+          ON e.user_id = v.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts > v.first_view
+        GROUP BY v.user_id, v.first_view
+    """,
+    covers="expansion 2.5/2.8: funnel analysis (ordered event-sequence "
+    "detection: first view -> first later purchase per user)",
+)
+def events_funnel_conversion(spark, t):
+    """Conversion funnel: for every user who viewed, the first purchase
+    strictly AFTER their first view — the standard product-analytics
+    ordered-sequence question.
+
+    Two per-user MIN rollups around one user_id equi-join: the first-view
+    rollup shrinks the left side to one row per user before the join (map-
+    side combine), the join fans out only to that user's purchase events,
+    and the second rollup collapses them. Every exchange is keyed on
+    user_id, so at 100 TB the three stages reuse one partitioning; no
+    window function and no ordering shuffle is needed because both
+    sequence anchors are MINs under a predicate."""
+    ev = t["events"]
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        v.join(p, (v.user_id == F.col("p_user")) & (F.col("p_ts") > v.first_view))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )

@@ -56,6 +56,8 @@ SAMPLE_PRIORITY: list[str] = [
     # round-4 NEW operators (never driver-sampled)
     "dedup_components",
     "streaming_user_profile",
+    "events_funnel_conversion",
+    "sampling_pack_shards",
     # round-4 behavior changes: LSH entries now emit exact-verified outputs
     # with full oracles; tumbling-window group key, q13 rollup, bucketed-ANN
     # probe, daily-read caching, watermark widening all touched this round;

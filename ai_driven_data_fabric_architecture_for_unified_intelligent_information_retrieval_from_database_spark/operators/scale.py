@@ -126,3 +126,79 @@ def partition_pruned_daily_read(spark, t):
         .groupBy("day")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@query(
+    "sampling_pack_shards",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        keyed AS (
+            SELECT doc_id, n_tokens, n_tokens // 16 AS tb,
+                   SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS mp
+            FROM sized
+        ),
+        dealt AS (
+            SELECT doc_id, n_tokens,
+                   (ROW_NUMBER() OVER (PARTITION BY tb, mp ORDER BY doc_id) - 1
+                    + ASCII(SUBSTRING(mp, 1, 1)) * 7
+                    + ASCII(SUBSTRING(mp, 2, 1)) * 3
+                    + tb) % 8 AS shard_id
+            FROM keyed
+        )
+        SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+        FROM dealt GROUP BY shard_id
+    """,
+    covers="pipeline: balanced training-shard packing (deterministic "
+    "size-stratified round-robin deal)",
+)
+def sampling_pack_shards(spark, t):
+    """Deal documents into 8 training shards balanced by token count.
+
+    The greedy bin-packing a single-node packer would run is inherently
+    sequential; the distributed form stratifies instead: documents are
+    bucketed by size (token count / 16 — a per-row expression, no global
+    statistics) and by a 256-way md5 prefix of their id, then each
+    (size-bucket, md5-prefix) stratum deals its documents round-robin
+    across the shards. Every stratum holds same-sized docs and contributes
+    to all shards within one doc of evenly, so shard token totals balance
+    tightly — and the window partition is (bucket x 256) bounded, never a
+    global ORDER BY (the single-partition window a naive rank-based packer
+    needs is exactly what dies at 100 TB). Assignment is a pure function
+    of (doc_id, n_tokens): re-runs and retries deal identically, the same
+    reproducibility contract as sampling_deterministic_split."""
+    from pyspark.sql import Window
+
+    sized = t["documents"].select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    keyed = sized.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") / 16).cast("long").alias("tb"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("mp"),
+    )
+    stratum = Window.partitionBy("tb", "mp").orderBy("doc_id")
+    # The deal's starting shard rotates per stratum (a deterministic mix of
+    # the stratum keys): without the rotation every singleton stratum —
+    # the common case on a small corpus, where strata outnumber documents
+    # — would deal its one document to shard 0.
+    dealt = keyed.select(
+        "n_tokens",
+        (
+            (
+                F.row_number().over(stratum)
+                - 1
+                + F.ascii(F.substring(F.col("mp"), 1, 1)) * 7
+                + F.ascii(F.substring(F.col("mp"), 2, 1)) * 3
+                + F.col("tb")
+            )
+            % 8
+        ).cast("long").alias("shard_id"),
+    )
+    return dealt.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
