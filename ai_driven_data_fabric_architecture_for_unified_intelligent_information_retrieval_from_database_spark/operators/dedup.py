@@ -225,6 +225,15 @@ def dedup_components(spark, t):
     the identical ``jpairs`` edge list.
     """
     pairs = _jaccard_pair_df(t).select("a_id", "b_id")
+    return min_label_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components of an undirected (a_id, b_id) pair graph via
+    min-label propagation; returns (node, label) with label = min node id
+    in the component. See dedup_components for the algorithmic notes."""
     edges = pairs.unionAll(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).localCheckpoint()
@@ -234,7 +243,7 @@ def dedup_components(spark, t):
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(50):
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.b_id == labels.node)
             .groupBy(edges.a_id)
@@ -261,12 +270,11 @@ def dedup_components(spark, t):
             break
     else:
         raise RuntimeError(
-            "dedup_components: min-label propagation did not converge in 50 "
-            "rounds — pathological chain graph; switch to large-star/small-star"
+            "min_label_components: did not converge in "
+            f"{max_rounds} rounds — pathological chain graph; switch to "
+            "large-star/small-star"
         )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component")
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------

@@ -85,3 +85,60 @@ def test_exact_dedup_counts(spark):
     # identical texts across different doc_ids would merge groups; allow <=
     assert 0 < len(rows) <= expected
     assert all(r.n_copies >= 2 for r in rows)
+
+
+def test_min_label_components_chain_and_cycle(spark):
+    """The propagation loop itself, on crafted graphs: a 6-node path (needs
+    multiple rounds — exercises the fixpoint iteration, not just round 1),
+    a triangle, and an isolated pair, all in one edge list."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    edges = spark.createDataFrame(
+        # path 1-2-3-4-5-6, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "a_id long, b_id long",
+    )
+    got = {r.node: r.label for r in min_label_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_min_label_components_round_cap_raises(spark):
+    """A path longer than max_rounds must fail loudly, not return a
+    half-propagated labeling."""
+    import pytest as _pytest
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a_id long, b_id long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(chain, max_rounds=2)
+
+
+def test_dedup_components_labels_match_pair_graph(spark):
+    """Every clustered doc gets the min doc_id of its cluster, and the
+    clustered doc set equals the docs appearing in >=1 verified pair."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
+        _jaccard_pair_df,
+    )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_views,
+    )
+
+    t = register_views(spark, SF_ORACLE)
+    pairs = [(r.a_id, r.b_id) for r in _jaccard_pair_df(t).collect()]
+    comp = {r.doc_id: r.component for r in
+            queries()["dedup_components"](spark, SF_ORACLE).collect()}
+    in_pairs = {d for p in pairs for d in p}
+    assert set(comp) == in_pairs
+    for a, b in pairs:
+        assert comp[a] == comp[b], f"pair ({a},{b}) split across components"
+    assert all(lbl <= d for d, lbl in comp.items())
