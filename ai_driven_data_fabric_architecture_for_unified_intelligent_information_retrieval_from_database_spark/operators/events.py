@@ -265,3 +265,52 @@ def events_funnel_conversion(spark, t):
         .groupBy("user_id", "first_view")
         .agg(F.min("p_ts").alias("first_purchase"))
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(DATE_DIFF('week', f.cohort_week,
+                                  DATE_TRUNC('week', e.ts)) AS BIGINT) AS week_offset
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        FROM active GROUP BY cohort_week, week_offset
+    """,
+    covers="expansion 2.4/2.8: cohort retention matrix (first-touch cohort "
+    "x active-week offset)",
+)
+def events_retention_cohorts(spark, t):
+    """Weekly retention: users grouped by first-touch week, counted in every
+    later week they were active — the cohort matrix behind any retention
+    curve.
+
+    One MIN rollup per user (map-side combine), one user_id equi-join to
+    tag each event with its user's cohort, a distinct on (user, cohort,
+    offset) and the final count — all exchanges keyed on user_id until the
+    tiny final rollup, so a 100 TB event log reuses one partitioning.
+    Week arithmetic must agree across engines: both sides bucket with
+    DATE_TRUNC('week', ...) (Monday-start ISO weeks in Spark and DuckDB)
+    and the offset is the whole-week difference of the two buckets."""
+    ev = t["events"]
+    # DuckDB's DATE_TRUNC('week') yields DATE; match the type exactly.
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    week_offset = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+    ).cast("long")
+    active = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort_week", week_offset.alias("week_offset"))
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )

@@ -58,6 +58,7 @@ SAMPLE_PRIORITY: list[str] = [
     "streaming_user_profile",
     "events_funnel_conversion",
     "sampling_pack_shards",
+    "events_retention_cohorts",
     # round-4 behavior changes: LSH entries now emit exact-verified outputs
     # with full oracles; tumbling-window group key, q13 rollup, bucketed-ANN
     # probe, daily-read caching, watermark widening all touched this round;
