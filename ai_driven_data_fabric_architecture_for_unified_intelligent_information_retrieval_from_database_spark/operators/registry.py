@@ -54,6 +54,7 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: coverage. Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
     # round-4 NEW operators (never driver-sampled)
+    "text_pii_scrub",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

@@ -250,6 +250,88 @@ def text_bpe_token_estimate(spark, t):
     )
 
 
+#: PII patterns shared by the Spark op and its oracle. Kept to the regex
+#: subset where Java regex (Spark) and RE2 (DuckDB) agree exactly: character
+#: classes, bounded repetition, no lookaround/backreferences.
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || doc_id || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call +1-555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               MD5(REGEXP_REPLACE(REGEXP_REPLACE(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                                  '{PII_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_fp
+        FROM corpus
+    """,
+    covers="pipeline: PII detection + redaction (email/phone patterns, "
+    "count + scrub fingerprint)",
+)
+def text_pii_scrub(spark, t):
+    """PII scrubbing: detect and redact email addresses and phone numbers,
+    returning per-document match counts plus a fingerprint of the redacted
+    text (so the driver oracle verifies the exact redaction output, not just
+    the counts).
+
+    The driver corpus is synthetic word salad with no PII, so the operator
+    deterministically injects emails/phones for doc_id % 3 / % 5 — the same
+    re-injection idiom dedup_exact uses for duplicates — and both engines
+    build the identical corpus before scrubbing.
+
+    Scale shape: map-only scan, zero shuffle — embarrassingly parallel at
+    100 TB. The patterns stay in the Java-regex/RE2 common subset (classes +
+    bounded repetition); unlike the per-char char-class replaceAll that
+    anti-scaled in round 3 (functions/text.py::normalized_text), a bounded
+    structured pattern like an email is what regex engines are for — the
+    match attempts fail fast on the first character for non-PII positions.
+    """
+    d = t["documents"]
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t2"), PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return (
+        d.select("doc_id", injected.alias("t2"))
+        .select(
+            "doc_id",
+            F.regexp_count("t2", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count("t2", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+            F.md5(scrubbed).alias("scrubbed_fp"),
+        )
+    )
+
+
 @query(
     "text_fuzzy_name_pairs",
     oracle="""

