@@ -55,6 +55,8 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 SAMPLE_PRIORITY: list[str] = [
     # round-4 NEW operators (never driver-sampled)
     "text_pii_scrub",
+    "text_decontaminate",
+    "text_length_histogram",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

@@ -250,6 +250,109 @@ def text_bpe_token_estimate(spark, t):
     )
 
 
+#: Doc-id stride that defines the held-out "benchmark" slice for the
+#: decontamination demo (every corpus has doc_id 0..N-1, so % 25 keeps the
+#: eval set non-empty from sf0.001 up while staying ~4% of the corpus).
+DECONTAM_EVAL_STRIDE = 25
+DECONTAM_NGRAM = 5
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        ii AS (SELECT doc_id, ws,
+                      UNNEST(GENERATE_SERIES(1, LEN(ws) - {DECONTAM_NGRAM - 1})) AS i
+               FROM w
+               WHERE LEN(ws) >= {DECONTAM_NGRAM}),
+        sh AS (SELECT DISTINCT doc_id,
+                      ARRAY_TO_STRING(ws[i:i+{DECONTAM_NGRAM - 1}], ' ') AS sh
+               FROM ii),
+        eval_sh AS (SELECT DISTINCT sh FROM sh
+                    WHERE doc_id % {DECONTAM_EVAL_STRIDE} = 0),
+        hits AS (
+            SELECT s.doc_id, COUNT(*) AS n_hits
+            FROM sh s JOIN eval_sh e ON s.sh = e.sh
+            WHERE s.doc_id % {DECONTAM_EVAL_STRIDE} <> 0
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {DECONTAM_EVAL_STRIDE} <> 0
+    """,
+    covers="pipeline: benchmark decontamination (n-gram overlap of training "
+    "docs against a held-out eval set)",
+)
+def text_decontaminate(spark, t):
+    """Benchmark decontamination: flag every training document sharing any
+    5-gram with the held-out eval slice (doc_id % 25 == 0 stands in for a
+    benchmark suite), with the distinct-overlap count per document.
+
+    This is the standard pre-training hygiene stage (n-gram collision
+    decontamination a la GPT-3/PaLM data cards). The scale shape is the
+    right one for 100 TB: eval-set shingles are tiny (benchmarks are MBs)
+    and broadcast, so the corpus side is one scan with a map-side-combined
+    (doc_id, count) rollup — no corpus-sized shuffle anywhere.
+    """
+    d = t["documents"]
+    sh = (
+        d.select("doc_id", words_col().alias("ws"))
+        .where(F.size("ws") >= DECONTAM_NGRAM)
+        .select(
+            "doc_id", F.explode(shingles_expr("ws", DECONTAM_NGRAM)).alias("sh")
+        )
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_STRIDE == 0
+    eval_sh = sh.where(is_eval).select("sh").distinct()
+    hits = (
+        sh.where(~is_eval)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        d.where(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("h"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("h"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+        SELECT CAST(LEN(STRING_SPLIT(text, ' ')) // 10 * 10 AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    covers="pipeline: corpus length-distribution histogram (data-card stat)",
+)
+def text_length_histogram(spark, t):
+    """Token-length histogram in buckets of 10 — the corpus data-card
+    length-distribution stat. Scan + tiny map-side-combined rollup (the
+    shuffle carries one row per bucket per partition)."""
+    return (
+        t["documents"]
+        .groupBy(
+            (F.floor(token_count() / 10) * 10).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
 #: PII patterns shared by the Spark op and its oracle. Kept to the regex
 #: subset where Java regex (Spark) and RE2 (DuckDB) agree exactly: character
 #: classes, bounded repetition, no lookaround/backreferences.
