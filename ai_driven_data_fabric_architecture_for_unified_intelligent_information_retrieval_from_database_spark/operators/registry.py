@@ -57,6 +57,7 @@ SAMPLE_PRIORITY: list[str] = [
     "text_pii_scrub",
     "text_decontaminate",
     "text_length_histogram",
+    "sampling_stratified_quota",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

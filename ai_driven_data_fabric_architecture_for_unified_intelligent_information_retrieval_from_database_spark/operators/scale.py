@@ -202,3 +202,46 @@ def sampling_pack_shards(spark, t):
     return dealt.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
     )
+
+
+@query(
+    "sampling_stratified_quota",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 25
+    """,
+    covers="pipeline: stratified quota sampling (deterministic top-q per "
+    "stratum by content-addressed rank)",
+)
+def sampling_stratified_quota(spark, t):
+    """Exactly 25 documents per language, chosen by md5-of-id rank — the
+    balanced-evaluation-set sampler. Like sampling_deterministic_split the
+    choice is a pure function of doc_id: re-runs, retries, and corpus
+    appends keep previously sampled docs sampled (a doc only falls out when
+    enough smaller-ranked docs arrive in its stratum).
+
+    The rank is a per-stratum window, so each language's rows converge on
+    one reducer. That is fine when strata number in the thousands
+    (language x source crossings); for a handful of giant strata at 100 TB,
+    substratify the window by an md5 prefix exactly as
+    sampling_pack_shards does, take the per-substratum top-25, and re-rank
+    the (256 x 25)-row survivor set — two bounded windows, no hot reducer.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= 25)
+    )
