@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import normalized_text, shingles_expr, words_col
+from ..functions.text import normalized_text, words_col
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -93,15 +93,6 @@ def dedup_normalized_groups(spark, t):
 # ---------------------------------------------------------------------------
 
 
-def _distinct_shingles(t) -> DataFrame:
-    return (
-        t["documents"]
-        .select("doc_id", words_col().alias("ws"))
-        .select("doc_id", F.explode(shingles_expr("ws", 3)).alias("sh"))
-        .distinct()
-    )
-
-
 JACCARD_THRESHOLD = 0.4
 
 #: Shared CTE chain producing the exact-Jaccard near-dup pair list
@@ -132,18 +123,27 @@ _PAIR_CTES = f"""w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documen
 
 def _jaccard_pair_df(t) -> DataFrame:
     """Spark twin of the ``jpairs`` CTE: all exact 3-shingle Jaccard pairs
-    at or above the threshold, a_id < b_id."""
-    sh = _distinct_shingles(t)
+    at or above the threshold, a_id < b_id.
+
+    Works on HASHED shingles (:func:`hashed_shingles`) rather than shingle
+    strings: set sizes, intersections, and therefore Jaccard are identical
+    up to 64-bit collisions (p ~ 2^-64 per candidate pair — far below the
+    oracle's resolution; see hashed_shingles), while every shuffle in the
+    inverted-index self-join carries 8-byte longs instead of ~20-byte
+    shingle text. Measured at sf1 this halves the dominant bench cell; the
+    string-shingle DuckDB oracle stays byte-identical on the pair output.
+    """
+    sh = hashed_shingles(t)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # Shingles present in only one document cannot contribute a pair;
     # dropping them before the self-join shrinks the join input ~10x on
     # this corpus (singleton shingles dominate any natural-text corpus)
     # while set sizes above keep counting the full sets.
-    shared = sh.groupBy("sh").agg(F.count("*").alias("c")).where(F.col("c") > 1)
-    sh_join = sh.join(shared.select("sh"), "sh", "semi")
+    shared = sh.groupBy("hsh").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    sh_join = sh.join(shared.select("hsh"), "hsh", "semi")
     a, b = sh_join.alias("a"), sh_join.alias("b")
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.hsh") == F.col("b.hsh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count("*").alias("n_common"))
     )
