@@ -331,3 +331,19 @@ def test_join_star_adapts_to_broadcast_threshold(spark):
         assert "rev_micro" in plan_big, "expected staged rollup form"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval-set shingle relation must reach the corpus side as a
+    broadcast — a sort-merge join here would shuffle the full corpus
+    shingle set against a benchmark-sized probe (the anti-scale shape)."""
+    plan = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_stratified_quota_windows_by_stratum(spark):
+    """The quota rank must partition by the stratum key (lang), never run
+    a single-partition global window."""
+    plan = plan_of(spark, "sampling_stratified_quota")
+    assert "hashpartitioning(lang" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
