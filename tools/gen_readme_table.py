@@ -25,8 +25,11 @@ def table() -> str:
     lines = [
         HEADER,
         "",
-        f"{n} registered queries, {with_oracle} with exact DuckDB oracles "
-        "(the rest are validated rows-only plus dedicated recall tests).",
+        f"{n} registered queries, {with_oracle} with exact DuckDB oracles"
+        + (
+            "." if with_oracle == n
+            else " (the rest are validated rows-only plus dedicated recall tests)."
+        ),
         "",
         "| query | oracle | covers |",
         "|---|---|---|",
