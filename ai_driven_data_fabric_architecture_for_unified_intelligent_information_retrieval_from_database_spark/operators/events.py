@@ -314,3 +314,54 @@ def events_retention_cohorts(spark, t):
     return active.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               COUNT(*) AS n
+        FROM seq
+        WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT 20
+    """,
+    covers="pipeline: behavioral sequence mining (per-user event-path "
+    "trigrams, top-k)",
+)
+def events_path_trigrams(spark, t):
+    """Top-20 three-step event-type paths across all users — the sequence
+    n-gram primitive behind funnel discovery and next-event models.
+
+    The per-user ordering (ts, event_id — a total order, so LEAD is
+    deterministic) is one user_id shuffle; the trigram rollup's shuffle
+    carries (path, partial count) with map-side combine — at 100 TB the
+    heavy exchange is the same single user partition every sessionization
+    pass already pays, and the path dictionary is tiny (|event types|^3).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )

@@ -58,6 +58,8 @@ SAMPLE_PRIORITY: list[str] = [
     "text_decontaminate",
     "text_length_histogram",
     "sampling_stratified_quota",
+    "events_path_trigrams",
+    "basket_part_pairs",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

@@ -701,3 +701,49 @@ def tpch_q21(spark, t):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
+    """,
+    covers="pipeline: market-basket co-occurrence mining (bounded in-order "
+    "pair expansion, top-k support)",
+)
+def basket_part_pairs(spark, t):
+    """Top-20 part pairs by co-order support — the frequent-itemset
+    primitive (the candidate-pair half of A-Priori at k=2).
+
+    Scale shape: the self-join key is l_orderkey, so the pair expansion is
+    quadratic only WITHIN an order — TPC-H orders hold <= 7 items, so each
+    order emits <= 21 pairs and the blow-up is a bounded constant, never
+    corpus-quadratic (the same bounded-group trick the LSH band join uses).
+    One orderkey shuffle for the join, then a map-side-combined (pair,
+    count) rollup whose key space is capped by the co-occurrence
+    dictionary, and a TakeOrdered top-k — no full sort.
+    """
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
