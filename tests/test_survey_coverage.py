@@ -110,3 +110,17 @@ def test_pipeline_expansion_areas_covered():
     for prefix, minimum in prefixes.items():
         n = sum(1 for name in REGISTRY if name.startswith(prefix))
         assert n >= minimum, f"{prefix}*: {n} < {minimum}"
+
+
+def test_sample_priority_names_are_registered():
+    """Every SAMPLE_PRIORITY name must be a registered query — a typo here
+    silently drops the entry from the rotation window the external
+    correctness harness samples."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.registry import (
+        SAMPLE_PRIORITY,
+    )
+
+    _ensure_loaded()
+    missing = [n for n in SAMPLE_PRIORITY if n not in REGISTRY]
+    assert not missing, missing
+    assert len(set(SAMPLE_PRIORITY)) == len(SAMPLE_PRIORITY), "duplicates"
