@@ -365,3 +365,63 @@ def events_path_trigrams(spark, t):
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+@query(
+    "events_user_outliers",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id, COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   SUM(n_events) AS sx,
+                   SUM(n_events * n_events) AS sxx
+            FROM per_user
+        )
+        SELECT u.user_id, u.n_events,
+               (u.n_events - CAST(s.sx AS DOUBLE) / s.n)
+                   / SQRT((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n)
+                          / (s.n - 1)) AS z,
+               ABS((u.n_events - CAST(s.sx AS DOUBLE) / s.n)
+                   / SQRT((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n)
+                          / (s.n - 1))) > 2.0 AS is_outlier
+        FROM per_user u, stats s
+    """,
+    covers="pipeline: activity outlier detection (z-score from exact "
+    "integer moment sums, broadcast scalar stats)",
+)
+def events_user_outliers(spark, t):
+    """Per-user activity z-scores against the corpus mean, flagging >2
+    sigma — the bot/spam-user filter a training pipeline runs before
+    sampling interaction data.
+
+    Determinism: the mean and variance come from exact INTEGER moment sums
+    (counts and squared counts are longs), so both engines derive
+    bit-identical doubles — the same order-independence trick as
+    agg_variance_stddev (the one-pass stddev estimators merge partials in
+    nondeterministic order). Scale shape: one user_id rollup (map-side
+    combined), a 1-row global aggregate of THAT rollup, broadcast back as
+    a literal join — the corpus-sized data never moves twice.
+    """
+    per_user = t["events"].groupBy("user_id").agg(F.count("*").alias("n_events"))
+    stats = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        per_user.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n_events",
+            z.alias("z"),
+            (F.abs(z) > 2.0).alias("is_outlier"),
+        )
+    )

@@ -60,6 +60,7 @@ SAMPLE_PRIORITY: list[str] = [
     "sampling_stratified_quota",
     "events_path_trigrams",
     "basket_part_pairs",
+    "events_user_outliers",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",
