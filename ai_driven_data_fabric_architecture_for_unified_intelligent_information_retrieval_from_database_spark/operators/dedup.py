@@ -329,35 +329,29 @@ def minhash_signatures(t) -> DataFrame:
 
 #: Exact-Jaccard acceptance threshold for LSH candidates. Every true pair
 #: in the driver corpora sits at Jaccard >= 0.75 (measured at sf0.001/0.01/
-#: 0.1 — the synthetic near-dups are light edits of each other), where the
-#: 4x4 banding's collision probability is >= 0.96 per pair; the banding
-#: deterministically catches ALL of them on these fixed corpora (gated by
-#: tests/test_dedup.py::test_minhash_recall_is_total), which is what makes
-#: the exact-Jaccard oracle below an equality check rather than a bound.
+#: 0.1 — the synthetic near-dups are light edits of each other). In
+#: EXPECTATION a J=0.75 pair collides under 4x4 banding with p ~ 0.78
+#: (1-(1-0.75^4)^4) and a J=0.9 pair with p ~ 0.99; what makes the oracle
+#: an equality check rather than a bound is that the corpora and hash
+#: seeds are FIXED, so recall is a deterministic property gated per corpus
+#: by tests/test_dedup.py::test_minhash_recall_is_total. If a regenerated
+#: corpus ever plants a moderate-similarity pair the banding misses, that
+#: tripwire (and the driver compare) fail loudly by design — the row-count
+#: mismatch IS the recall report.
 MINHASH_VERIFY_THRESHOLD = 0.5
 
 
 @query(
     "dedup_minhash_lsh",
+    # NOTE: this oracle is a brute-force quadratic all-pairs exact Jaccard
+    # (reusing the ngram ground truth's CTE chain, tightened to the verify
+    # threshold) — it contains no minhash or banding, which DuckDB cannot
+    # reproduce (no xxhash64). The equality contract therefore doubles as
+    # a total-recall gate on the banding; see the docstring.
     oracle=f"""
-        WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
-        ii AS (SELECT doc_id, ws,
-                      UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
-               FROM w),
-        sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS sh FROM ii),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        pairs AS (
-            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT a_id, b_id,
-               CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
-        FROM pairs
-        JOIN sizes sa ON a_id = sa.doc_id
-        JOIN sizes sb ON b_id = sb.doc_id
-        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
-              >= {MINHASH_VERIFY_THRESHOLD}
+        WITH {_PAIR_CTES}
+        SELECT a_id, b_id, jaccard FROM jpairs
+        WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
     """,
     covers="pipeline: MinHash+LSH near-dup (banded candidates + exact verify)",
 )

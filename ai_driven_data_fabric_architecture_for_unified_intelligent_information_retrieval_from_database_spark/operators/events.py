@@ -381,12 +381,17 @@ def events_path_trigrams(spark, t):
             FROM per_user
         )
         SELECT u.user_id, u.n_events,
-               (u.n_events - CAST(s.sx AS DOUBLE) / s.n)
-                   / SQRT((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n)
-                          / (s.n - 1)) AS z,
-               ABS((u.n_events - CAST(s.sx AS DOUBLE) / s.n)
-                   / SQRT((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n)
-                          / (s.n - 1))) > 2.0 AS is_outlier
+               CASE WHEN s.n > 1 AND (s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n) > 0
+                    THEN (u.n_events - CAST(s.sx AS DOUBLE) / s.n)
+                         / SQRT((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n)
+                                / (s.n - 1))
+               END AS z,
+               COALESCE(ABS(
+                   CASE WHEN s.n > 1 AND (s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n) > 0
+                        THEN (u.n_events - CAST(s.sx AS DOUBLE) / s.n)
+                             / SQRT((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n)
+                                    / (s.n - 1))
+                   END) > 2.0, FALSE) AS is_outlier
         FROM per_user u, stats s
     """,
     covers="pipeline: activity outlier detection (z-score from exact "
@@ -401,9 +406,13 @@ def events_user_outliers(spark, t):
     (counts and squared counts are longs), so both engines derive
     bit-identical doubles — the same order-independence trick as
     agg_variance_stddev (the one-pass stddev estimators merge partials in
-    nondeterministic order). Scale shape: one user_id rollup (map-side
-    combined), a 1-row global aggregate of THAT rollup, broadcast back as
-    a literal join — the corpus-sized data never moves twice.
+    nondeterministic order). Degenerate corpora (one user, or every user
+    with an identical count) have zero variance: z is NULL and no row is
+    flagged — guarded identically on both engines, since an unguarded
+    double division raises under Spark's ANSI mode while DuckDB emits
+    inf/NaN. Scale shape: one user_id rollup (map-side combined), a 1-row
+    global aggregate of THAT rollup, broadcast back as a literal join —
+    the corpus-sized data never moves twice.
     """
     per_user = t["events"].groupBy("user_id").agg(F.count("*").alias("n_events"))
     stats = per_user.agg(
@@ -412,16 +421,17 @@ def events_user_outliers(spark, t):
         F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
     )
     mean = F.col("sx").cast("double") / F.col("n")
-    var = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")) / (
-        F.col("n") - 1
+    ss = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    z = F.when(
+        (F.col("n") > 1) & (ss > 0),
+        (F.col("n_events") - mean) / F.sqrt(ss / (F.col("n") - 1)),
     )
-    z = (F.col("n_events") - mean) / F.sqrt(var)
     return (
         per_user.crossJoin(F.broadcast(stats))
         .select(
             "user_id",
             "n_events",
             z.alias("z"),
-            (F.abs(z) > 2.0).alias("is_outlier"),
+            F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_outlier"),
         )
     )

@@ -521,11 +521,14 @@ def _parse_byte_conf(raw: str) -> int:
     return int(s)  # plain integer (may still raise: caller decides fallback)
 
 
-def _fits_broadcast(spark, df) -> bool:
-    """Catalyst's own pre-AQE size estimate for ``df`` against the session
-    broadcast threshold — the same comparison the planner makes."""
+def _broadcast_threshold(spark) -> int:
+    """The session broadcast threshold in bytes, with a WARNED 10 MB
+    fallback on unparseable forms — shared by both fitness checks so the
+    silent-fallback bug ADVICE r03 flagged cannot re-grow in one of them."""
     try:
-        thr = _parse_byte_conf(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        return _parse_byte_conf(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
     except Exception:
         import warnings
 
@@ -533,7 +536,13 @@ def _fits_broadcast(spark, df) -> bool:
             "unparseable spark.sql.autoBroadcastJoinThreshold; "
             "falling back to 10MB for the cost-based plan choice"
         )
-        thr = 10 * 1024 * 1024
+        return 10 * 1024 * 1024
+
+
+def _fits_broadcast(spark, df) -> bool:
+    """Catalyst's own pre-AQE size estimate for ``df`` against the session
+    broadcast threshold — the same comparison the planner makes."""
+    thr = _broadcast_threshold(spark)
     if thr <= 0:
         return False
     size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
@@ -571,10 +580,7 @@ def _fits_broadcast_counted(spark, df) -> bool:
       already fits and at huge SF the slack bound skips straight to the
       scalable plan.
     """
-    try:
-        thr = _parse_byte_conf(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    except Exception:
-        thr = 10 * 1024 * 1024
+    thr = _broadcast_threshold(spark)
     if thr <= 0:
         return False
     est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))

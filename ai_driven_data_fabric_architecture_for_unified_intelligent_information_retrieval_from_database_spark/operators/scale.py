@@ -105,17 +105,29 @@ def partition_pruned_daily_read(spark, t):
     The partitioned copy is written ONCE per source corpus (ADVICE r03:
     mkdtemp per call leaked a directory and paid an untimed rewrite on
     every bench repetition): the target path is derived from a digest of
-    the source file list, and the write is skipped when a completed copy
-    (_SUCCESS marker) is already there. Static test corpora make the
-    file-list digest a sufficient freshness key."""
+    the source files' (path, size, mtime) triples — names alone would
+    serve a stale copy after a corpus is regenerated in place under the
+    same fixed file names (exactly what tools/make_scaled_sf.py does) —
+    and the write is skipped when a completed copy (_SUCCESS marker) is
+    already there."""
     import hashlib
     import os
+    from urllib.parse import urlparse
 
     from ..sources.sinks import write_partitioned
 
     day_events = t["events"].withColumn("day", F.col("ts").cast("date"))
+
+    def _sig(uri: str) -> str:
+        p = urlparse(uri).path or uri
+        try:
+            st = os.stat(p)
+            return f"{uri}\t{st.st_size}\t{st.st_mtime_ns}"
+        except OSError:  # non-local FS — fall back to the name
+            return uri
+
     digest = hashlib.md5(
-        "\n".join(sorted(t["events"].inputFiles())).encode()
+        "\n".join(sorted(_sig(f) for f in t["events"].inputFiles())).encode()
     ).hexdigest()[:16]
     path = f"/tmp/events_by_day_cache/{digest}/events_by_day"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -85,9 +85,14 @@ def _make_update_profile():
             if len(pdf) == 0:
                 continue
             n_events += int(len(pdf))
-            # exact micro-unit accumulation (see numerics.py): round-half-
-            # away recovers the true integer of value*1e6, so the running
-            # total is associative across any batch slicing
+            # exact micro-unit accumulation (see numerics.py): the inputs
+            # are exact multiples of 1e-6, so value*1e6 is within float
+            # error of an integer and never an exact .5 tie — pandas'
+            # round-half-to-even and the oracle's ROUND (half-away) agree
+            # on every value in the domain, and the running total stays
+            # associative across any batch slicing. Inputs with >6
+            # decimals would break that equivalence (guarded upstream by
+            # the micro-unit domain contract).
             vals = pdf["value"].dropna()
             total_micro += int((vals * 1e6).round().astype("int64").sum())
             n_purchases += int((pdf["event_type"] == "purchase").sum())

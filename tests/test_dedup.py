@@ -27,10 +27,12 @@ def test_minhash_recall_is_total(spark, ground_truth_pairs):
     """The registered output is band-candidates filtered by EXACT Jaccard
     >= MINHASH_VERIFY_THRESHOLD, and its driver oracle is plain exact
     Jaccard at that threshold — so the two agree iff banding recall is 1
-    on this corpus. That holds deterministically here (every true pair
-    sits at Jaccard >= 0.75, where 4x4-band collision prob is >= 0.96 and
-    the fixed seeds land every one); this test is the local tripwire that
-    fires before the driver compare would."""
+    on this corpus. Recall is deterministic (fixed corpus, fixed seeds)
+    but NOT probabilistically guaranteed — a J=0.75 pair collides in
+    expectation with only p~0.78 under 4x4 bands — so this test is the
+    local tripwire that fires before the driver compare would if a
+    regenerated corpus plants a pair the banding misses (see
+    test_minhash_recall_other_corpora for the other driver corpora)."""
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
         MINHASH_VERIFY_THRESHOLD,
     )
@@ -142,3 +144,25 @@ def test_dedup_components_labels_match_pair_graph(spark):
     for a, b in pairs:
         assert comp[a] == comp[b], f"pair ({a},{b}) split across components"
     assert all(lbl <= d for d, lbl in comp.items())
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_minhash_recall_other_corpora(spark, sf_dir):
+    """Same equality tripwire on the other two driver corpora — the oracle
+    contract must hold wherever the driver might point it."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
+        MINHASH_VERIFY_THRESHOLD,
+    )
+
+    truth = {
+        (r.a_id, r.b_id)
+        for r in queries()["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        if r.jaccard >= MINHASH_VERIFY_THRESHOLD
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert truth and got == truth, (
+        f"missed={truth - got} extra={got - truth}"
+    )

@@ -21,8 +21,15 @@ def test_pack_shards_balances_tokens(spark):
 
 def test_pii_scrub_redacts_injected_pii(spark):
     """Docs with doc_id % 15 == 0 carry both an injected email and phone;
-    the scrub counts each exactly once and the fingerprinted text no longer
-    matches the PII patterns (spot-checked by rebuilding one scrubbed doc)."""
+    the scrub counts each exactly once, and the fingerprint of one such
+    doc equals the md5 of the text rebuilt with literal [EMAIL]/[PHONE]
+    redactions — proving the replacement actually happened, not just that
+    some fingerprint was produced."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
     rows = {
         r.doc_id: r
         for r in queries()["text_pii_scrub"](spark, SF_ORACLE).collect()
@@ -31,3 +38,11 @@ def test_pii_scrub_redacts_injected_pii(spark):
         assert r.n_emails == (1 if doc_id % 3 == 0 else 0), r
         assert r.n_phones == (1 if doc_id % 5 == 0 else 0), r
         assert r.scrubbed_fp is not None
+
+    tbl = pq.read_table(
+        os.path.join(SF_ORACLE, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pydict()
+    texts = dict(zip(tbl["doc_id"], tbl["text"]))
+    doc_id = next(d for d in sorted(texts) if d % 15 == 0)
+    expected = texts[doc_id] + " contact [EMAIL] call [PHONE]"
+    assert rows[doc_id].scrubbed_fp == hashlib.md5(expected.encode()).hexdigest()

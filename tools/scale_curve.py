@@ -53,10 +53,12 @@ def main() -> None:
         # where Spark is already below the DuckDB baseline — and skipped
         # beyond, transparently (absent from both engines' query maps).
         # Same rule for dedup_minhash_lsh since round 4 gave it a real SQL
-        # oracle: the ORACLE side (16 minhash permutations + banding +
-        # exact-Jaccard verify in one SQL statement) is the bottleneck —
-        # 10.8 s at sf1 vs Spark's 0.8 s, and effectively unbounded at
-        # sf10 (killed after 5 min) — so past sf1 neither engine runs it.
+        # oracle: that oracle is a brute-force quadratic all-pairs exact
+        # Jaccard at the verify threshold (DuckDB has no xxhash64, so the
+        # banding itself cannot be reproduced there), which is the
+        # bottleneck — ~10 s at sf1 vs Spark's LSH pipeline at ~1.7 s, and
+        # effectively unbounded at sf10 (killed after 5 min) — so past sf1
+        # neither engine runs it.
         if d.rsplit("sf", 1)[-1].replace(".", "").isdigit() and float(d.rsplit("sf", 1)[-1]) > 1:
             env["SPARK_GRAFT_BENCH_SKIP"] = "dedup_ngram_jaccard,dedup_minhash_lsh"
         spark = run_json([sys.executable, "bench.py"], env=env)
