@@ -61,6 +61,7 @@ SAMPLE_PRIORITY: list[str] = [
     "events_path_trigrams",
     "basket_part_pairs",
     "events_user_outliers",
+    "bucketed_join_revenue",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

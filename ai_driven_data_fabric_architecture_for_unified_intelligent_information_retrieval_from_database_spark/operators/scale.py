@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.numerics import sql_stable_sum
 from ..functions.skew import salted_group_count, salted_join_counts
 from .registry import query
 
@@ -256,4 +257,93 @@ def sampling_stratified_quota(spark, t):
         t["documents"]
         .select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
         .where(F.col("rk") <= 25)
+    )
+
+
+def _corpus_digest(df) -> str:
+    """Digest of the source files' (path, size, mtime) — the freshness key
+    shared by every cached-layout operator here (see
+    partition_pruned_daily_read for why names alone are not enough)."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    def sig(uri: str) -> str:
+        p = urlparse(uri).path or uri
+        try:
+            st = os.stat(p)
+            return f"{uri}\t{st.st_size}\t{st.st_mtime_ns}"
+        except OSError:
+            return uri
+
+    return hashlib.md5(
+        "\n".join(sorted(sig(f) for f in df.inputFiles())).encode()
+    ).hexdigest()[:16]
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle=f"""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               {sql_stable_sum('o.o_totalprice')} AS total_revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    covers="scale: bucketed co-located join (shuffle paid once at write "
+    "time; the fact-dim join runs with ZERO exchanges)",
+)
+def bucketed_join_revenue(spark, t):
+    """Order count and revenue per market segment through a join of two
+    tables BUCKETED on the join key — the write-once/join-free-forever
+    layout for a fact table that is joined on the same key every day.
+
+    Both sides are persisted with `write_bucketed` (16 buckets on custkey,
+    sorted within buckets), so the sort-merge join needs neither exchange
+    nor sort: at 100 TB this converts every recurring custkey join from a
+    full fact shuffle into a file-aligned merge. The `merge` hint keeps the
+    demonstration honest at test scale (customer would otherwise broadcast
+    under the threshold, hiding the property being exercised); the only
+    exchange in the whole plan is the final tiny segment rollup —
+    plan-gated in tests/test_plans.py. Tables are (re)written only when
+    the source corpus digest changes, same freshness contract as
+    partition_pruned_daily_read.
+    """
+    from ..functions.numerics import stable_sum
+    from ..sources.sinks import write_bucketed
+
+    import shutil
+    from urllib.parse import urlparse
+
+    orders, cust = t["orders"], t["customer"]
+    digest = _corpus_digest(orders)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def ensure(table, df, key):
+        # The metastore is per-session but the warehouse directory is not:
+        # a table written by a previous process is absent from THIS
+        # session's catalog while its files still occupy the location,
+        # which makes saveAsTable raise. Registering costs one catalog
+        # call, so clear the stale location and rewrite (still once per
+        # session per corpus).
+        if spark.catalog.tableExists(table):
+            return
+        stale = f"{warehouse}/{table.lower()}"
+        import os
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+        write_bucketed(df, table, key, n_buckets=16, sort_col=key)
+
+    to, tc = f"bk_orders_{digest}", f"bk_customer_{digest}"
+    ensure(to, orders.select("o_custkey", "o_totalprice"), "o_custkey")
+    ensure(tc, cust.select("c_custkey", "c_mktsegment"), "c_custkey")
+    o = spark.table(to)
+    c = spark.table(tc).hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            stable_sum("o_totalprice").alias("total_revenue"),
+        )
     )

@@ -347,3 +347,27 @@ def test_stratified_quota_windows_by_stratum(spark):
     plan = plan_of(spark, "sampling_stratified_quota")
     assert "hashpartitioning(lang" in plan, plan[:2000]
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_bucketed_join_pays_no_join_exchange(spark):
+    """The bucketed fact-dim join must be a SortMergeJoin with NO exchange
+    below it — the shuffle was paid once at write time (both scans read
+    all 16 buckets as pre-partitioned input); the only exchange in the
+    whole plan is the final tiny segment rollup ABOVE the join."""
+    plan = plan_of(spark, "bucketed_join_revenue")
+    # the indented tree is everything before the first "(1) ..." detail
+    tree = plan.split("\n(1)", 1)[0].splitlines()
+    join_depth = None
+    below_join = []
+    for line in tree:
+        node = line.lstrip(" :+-")
+        depth = len(line) - len(node)
+        if "SortMergeJoin" in node:
+            join_depth = depth
+            continue
+        if join_depth is not None and depth > join_depth:
+            below_join.append(node)
+    assert join_depth is not None, plan[:3000]
+    assert below_join and not any("Exchange" in n for n in below_join), tree
+    assert sum("Exchange" in l for l in tree) == 1, tree
+    assert plan.count("SelectedBucketsCount: 16 out of 16") == 2, plan[:3000]
