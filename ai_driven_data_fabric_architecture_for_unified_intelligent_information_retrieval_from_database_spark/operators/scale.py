@@ -111,25 +111,12 @@ def partition_pruned_daily_read(spark, t):
     same fixed file names (exactly what tools/make_scaled_sf.py does) —
     and the write is skipped when a completed copy (_SUCCESS marker) is
     already there."""
-    import hashlib
     import os
-    from urllib.parse import urlparse
 
     from ..sources.sinks import write_partitioned
 
     day_events = t["events"].withColumn("day", F.col("ts").cast("date"))
-
-    def _sig(uri: str) -> str:
-        p = urlparse(uri).path or uri
-        try:
-            st = os.stat(p)
-            return f"{uri}\t{st.st_size}\t{st.st_mtime_ns}"
-        except OSError:  # non-local FS — fall back to the name
-            return uri
-
-    digest = hashlib.md5(
-        "\n".join(sorted(_sig(f) for f in t["events"].inputFiles())).encode()
-    ).hexdigest()[:16]
+    digest = _corpus_digest(t["events"])
     path = f"/tmp/events_by_day_cache/{digest}/events_by_day"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_partitioned(day_events, path, ["day"])

@@ -46,3 +46,24 @@ def test_pii_scrub_redacts_injected_pii(spark):
     doc_id = next(d for d in sorted(texts) if d % 15 == 0)
     expected = texts[doc_id] + " contact [EMAIL] call [PHONE]"
     assert rows[doc_id].scrubbed_fp == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_corpus_digest_tracks_content_not_just_names(spark, tmp_path):
+    """Regression for the round-4 review finding: rewriting a corpus in
+    place under the same file names must change the layout-cache digest,
+    or cached partitioned/bucketed copies silently serve stale data."""
+    import shutil
+    import time
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
+        _corpus_digest,
+    )
+
+    src = "/root/testdata/sf0.001/region.parquet"
+    dst = str(tmp_path / "region.parquet")
+    shutil.copy(src, dst)
+    d1 = _corpus_digest(spark.read.parquet(dst))
+    time.sleep(0.01)
+    shutil.copy(src, dst)  # same name, same bytes, new mtime
+    d2 = _corpus_digest(spark.read.parquet(dst))
+    assert d1 != d2
