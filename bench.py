@@ -192,8 +192,15 @@ def main() -> None:
             # only task dispatch and merge overhead, and AQE's coalescing
             # does not recover the difference. A real cluster sizes this
             # to its core count x 2-3 waves instead.
+            # Small-scale shuffles run 8 partitions: at sf0.1 every
+            # post-shuffle partition holds a few thousand rows, so task
+            # dispatch dominates — paired A/B (idle host, min-of-3,
+            # round 4) measured the shuffle-heavy subset 25% faster at 8
+            # than 16 (q3 −35%, q5 −35%, sessionize −25%, minhash −20%);
+            # 4 bought little more and starved the quadratic ngram cell's
+            # real compute in some runs.
             "spark.sql.shuffle.partitions": (
-                "16"
+                "8"
                 if largest < 64 * 1024 * 1024
                 else str(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
             ),
