@@ -340,6 +340,12 @@ def minhash_signatures(t) -> DataFrame:
 #: mismatch IS the recall report.
 MINHASH_VERIFY_THRESHOLD = 0.5
 
+# The registered oracle reuses _PAIR_CTES, whose jpairs CTE is pre-filtered
+# at JACCARD_THRESHOLD — tightening to the verify threshold on top is only
+# correct while verify >= ground-truth. Lowering the verify knob below 0.4
+# requires a standalone oracle again.
+assert MINHASH_VERIFY_THRESHOLD >= JACCARD_THRESHOLD
+
 
 @query(
     "dedup_minhash_lsh",

@@ -329,7 +329,8 @@ def events_retention_cohorts(spark, t):
         SELECT event_type || '>' || e2 || '>' || e3 AS path,
                COUNT(*) AS n
         FROM seq
-        WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        WHERE event_type IS NOT NULL
+          AND e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1
         ORDER BY n DESC, path
         LIMIT 20
@@ -355,8 +356,16 @@ def events_path_trigrams(spark, t):
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
     )
+    # every leg filtered non-null BEFORE concat: concat_ws silently SKIPS
+    # nulls while the oracle's || propagates them — with the filter the two
+    # agree; without it a null event_type would collapse to a 2-gram here
+    # but a NULL path there.
     return (
-        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        seq.where(
+            F.col("event_type").isNotNull()
+            & F.col("e2").isNotNull()
+            & F.col("e3").isNotNull()
+        )
         .select(
             F.concat_ws(">", "event_type", "e2", "e3").alias("path")
         )
@@ -377,7 +386,8 @@ def events_path_trigrams(spark, t):
         stats AS (
             SELECT COUNT(*) AS n,
                    SUM(n_events) AS sx,
-                   SUM(n_events * n_events) AS sxx
+                   CAST(SUM(CAST(n_events AS HUGEINT) * n_events) AS DOUBLE)
+                       AS sxx
             FROM per_user
         )
         SELECT u.user_id, u.n_events,
@@ -415,13 +425,21 @@ def events_user_outliers(spark, t):
     the corpus-sized data never moves twice.
     """
     per_user = t["events"].groupBy("user_id").agg(F.count("*").alias("n_events"))
+    # sxx must not wrap: a skewed 100 TB corpus can push sum(count^2) past
+    # 2^63 (one user with >3e9 events already overflows the product), and
+    # the DuckDB oracle widens BIGINT sums to int128 — so both engines
+    # accumulate the squares exactly in wide integers (decimal(38,0) here,
+    # HUGEINT there) and round to double once, at the same exact value.
+    ne_wide = F.col("n_events").cast("decimal(19,0)")
     stats = per_user.agg(
         F.count("*").alias("n"),
         F.sum("n_events").alias("sx"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+        F.sum(ne_wide * ne_wide).cast("double").alias("sxx"),
     )
     mean = F.col("sx").cast("double") / F.col("n")
     ss = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    # (sxx is already double on both engines; sx stays a long — its square
+    # is computed in double, matching the oracle's CAST(sx AS DOUBLE) * sx)
     z = F.when(
         (F.col("n") > 1) & (ss > 0),
         (F.col("n_events") - mean) / F.sqrt(ss / (F.col("n") - 1)),

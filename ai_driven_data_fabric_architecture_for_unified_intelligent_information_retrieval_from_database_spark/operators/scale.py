@@ -117,8 +117,17 @@ def partition_pruned_daily_read(spark, t):
 
     day_events = t["events"].withColumn("day", F.col("ts").cast("date"))
     digest = _corpus_digest(t["events"])
-    path = f"/tmp/events_by_day_cache/{digest}/events_by_day"
+    root = "/tmp/events_by_day_cache"
+    path = f"{root}/{digest}/events_by_day"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # A content-keyed digest mints a new directory whenever the corpus
+        # is regenerated in place — prune the now-orphaned siblings first
+        # or repeated regenerate+bench cycles grow /tmp without bound.
+        import shutil
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d != digest:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         write_partitioned(day_events, path, ["day"])
     return (
         spark.read.parquet(path)
@@ -247,10 +256,12 @@ def sampling_stratified_quota(spark, t):
     )
 
 
-def _corpus_digest(df) -> str:
-    """Digest of the source files' (path, size, mtime) — the freshness key
-    shared by every cached-layout operator here (see
-    partition_pruned_daily_read for why names alone are not enough)."""
+def _corpus_digest(*dfs) -> str:
+    """Digest of the source files' (path, size, mtime) across every given
+    DataFrame — the freshness key shared by every cached-layout operator
+    here (see partition_pruned_daily_read for why names alone are not
+    enough; a multi-table consumer must key on ALL its inputs or a
+    regenerated second table is served stale)."""
     import hashlib
     import os
     from urllib.parse import urlparse
@@ -263,9 +274,8 @@ def _corpus_digest(df) -> str:
         except OSError:
             return uri
 
-    return hashlib.md5(
-        "\n".join(sorted(sig(f) for f in df.inputFiles())).encode()
-    ).hexdigest()[:16]
+    files = sorted(sig(f) for df in dfs for f in df.inputFiles())
+    return hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
 
 
 @query(
@@ -292,9 +302,15 @@ def bucketed_join_revenue(spark, t):
     demonstration honest at test scale (customer would otherwise broadcast
     under the threshold, hiding the property being exercised); the only
     exchange in the whole plan is the final tiny segment rollup —
-    plan-gated in tests/test_plans.py. Tables are (re)written only when
-    the source corpus digest changes, same freshness contract as
-    partition_pruned_daily_read.
+    plan-gated in tests/test_plans.py.
+
+    Freshness: the table names carry a digest of BOTH source tables'
+    (path, size, mtime) triples, so regenerating either corpus in place
+    mints new tables (and prunes the orphaned old ones). Within a session
+    the write is paid once; a NEW process starts with an empty in-memory
+    catalog, so the first call there clears the leftover location and
+    rewrites — the write-once contract is per-session here, and would be
+    cross-session under a persistent metastore (the real deployment).
     """
     from ..functions.numerics import stable_sum
     from ..sources.sinks import write_bucketed
@@ -303,7 +319,7 @@ def bucketed_join_revenue(spark, t):
     from urllib.parse import urlparse
 
     orders, cust = t["orders"], t["customer"]
-    digest = _corpus_digest(orders)
+    digest = _corpus_digest(orders, cust)
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
 
     def ensure(table, df, key):
@@ -315,10 +331,18 @@ def bucketed_join_revenue(spark, t):
         # session per corpus).
         if spark.catalog.tableExists(table):
             return
-        stale = f"{warehouse}/{table.lower()}"
         import os
+        stale = f"{warehouse}/{table.lower()}"
         if os.path.isdir(stale):
             shutil.rmtree(stale)
+        # prune orphaned digests of the same table family (corpus was
+        # regenerated in place) so repeated cycles don't grow the warehouse
+        prefix = table.rsplit("_", 1)[0].lower() + "_"
+        if os.path.isdir(warehouse):
+            for d in os.listdir(warehouse):
+                if d.startswith(prefix) and d != table.lower():
+                    spark.sql(f"DROP TABLE IF EXISTS {d}")
+                    shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
         write_bucketed(df, table, key, n_buckets=16, sort_col=key)
 
     to, tc = f"bk_orders_{digest}", f"bk_customer_{digest}"

@@ -72,7 +72,8 @@ def main() -> None:
         # bottleneck — ~10 s at sf1 vs Spark's LSH pipeline at ~1.7 s, and
         # effectively unbounded at sf10 (killed after 5 min) — so past sf1
         # neither engine runs it.
-        if d.rsplit("sf", 1)[-1].replace(".", "").isdigit() and float(d.rsplit("sf", 1)[-1]) > 1:
+        tail = d.rstrip("/").rsplit("sf", 1)[-1]
+        if tail.replace(".", "").isdigit() and float(tail) > 1:
             env["SPARK_GRAFT_BENCH_SKIP"] = "dedup_ngram_jaccard,dedup_minhash_lsh"
         spark = run_json([sys.executable, "bench.py"], env=env)
         duck = run_json([sys.executable, "tools/bench_duckdb.py", d], env=env)
