@@ -62,6 +62,7 @@ SAMPLE_PRIORITY: list[str] = [
     "basket_part_pairs",
     "events_user_outliers",
     "bucketed_join_revenue",
+    "grouping_sets_explicit",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

@@ -296,3 +296,36 @@ def grouping_cube(spark, t):
         .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "grouping_sets_explicit",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    covers="2.4 expansion (explicit GROUPING SETS + grouping_id — the "
+    "non-hierarchical subtotal form ROLLUP/CUBE cannot express)",
+)
+def grouping_sets_explicit(spark, t):
+    """Hand-picked subtotal sets — per status, per priority, and the grand
+    total, WITHOUT the cross combinations CUBE would add — plus the
+    grouping_id that tells result consumers which set each row belongs to
+    (the only way to distinguish a real NULL key from a subtotal NULL).
+    Single pass over orders; Spark expands the sets map-side like
+    ROLLUP/CUBE, so the fact scan is still read once."""
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM {orders}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        orders=t["orders"],
+    )
