@@ -1,0 +1,108 @@
+"""Differential fuzz of the shared text/numeric kernels against DuckDB.
+
+The oracle-parity suite checks every operator on the driver corpora; these
+tests instead feed ADVERSARIAL generated inputs (punctuation runs, digit
+soup, empty/whitespace-only strings, negative and boundary decimals)
+through the column builders most operators ride on — normalized_text,
+token_count, stable_sum — and require the DuckDB twin to agree exactly.
+A divergence here would surface as a driver hash-mismatch only on a corpus
+that happens to contain the pathological shape; this catches it first.
+
+Deterministic: fixed seed, fixed corpus size — no flaky examples.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+import pytest
+
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.functions.numerics import (
+    sql_stable_sum,
+    stable_sum,
+)
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.functions.text import (
+    SQL_NORMALIZED_TEXT,
+    normalized_text,
+    token_count,
+)
+
+_PUNCT = "!@#$%^&*()_+-=[]{}|;':\",./<>?`~"
+
+
+def _gen_texts(n: int = 300) -> list[str]:
+    rng = random.Random(0xFAB)
+    out = ["", " ", "   ", "a", ".", "...", "a  b", " leading", "trailing "]
+    alphabets = [
+        string.ascii_lowercase,
+        string.ascii_letters,
+        string.digits,
+        _PUNCT,
+        string.ascii_lowercase + " ",
+        string.ascii_letters + string.digits + _PUNCT + "  ",
+    ]
+    while len(out) < n:
+        alpha = rng.choice(alphabets)
+        out.append("".join(rng.choice(alpha) for _ in range(rng.randint(1, 80))))
+    return out
+
+
+@pytest.fixture(scope="module")
+def text_tables(spark):
+    texts = _gen_texts()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", list(enumerate(texts)))
+    return df, con
+
+
+def test_normalized_text_matches_duckdb_on_adversarial_strings(text_tables):
+    df, con = text_tables
+    got = {
+        r.doc_id: r.norm
+        for r in df.select("doc_id", normalized_text().alias("norm")).collect()
+    }
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {SQL_NORMALIZED_TEXT.format(t='text')} FROM docs"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_token_count_matches_duckdb_on_adversarial_strings(text_tables):
+    df, con = text_tables
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", token_count().alias("n")).collect()
+    }
+    want = dict(
+        con.execute(
+            "SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) FROM docs"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_stable_sum_matches_duckdb_on_boundary_decimals(spark):
+    """Random 0-6-decimal values, negatives, and exact .5-micro-unit ties —
+    the micro-unit encoding must reproduce DuckDB's decimal sum bit-for-bit
+    (this is the kernel every revenue aggregate rides)."""
+    rng = random.Random(0xFAB2)
+    vals = [0.0, -0.0, 0.5e-6, -0.5e-6, 1.5e-6, 123456.654321, -999999.999999]
+    while len(vals) < 500:
+        # values constructed AS exact micro-unit multiples (the operator's
+        # documented domain): integer micro-units / 1e6
+        vals.append(rng.randint(-10**12, 10**12) / 1e6)
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = df.agg(stable_sum("value").alias("s")).collect()[0].s
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (value DOUBLE)")
+    con.executemany("INSERT INTO v VALUES (?)", [(v,) for v in vals])
+    want = con.execute(f"SELECT {sql_stable_sum('value')} FROM v").fetchone()[0]
+    assert got == want
