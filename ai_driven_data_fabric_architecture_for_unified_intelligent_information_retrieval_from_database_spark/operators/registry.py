@@ -63,6 +63,7 @@ SAMPLE_PRIORITY: list[str] = [
     "events_user_outliers",
     "bucketed_join_revenue",
     "grouping_sets_explicit",
+    "source_orc_roundtrip",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

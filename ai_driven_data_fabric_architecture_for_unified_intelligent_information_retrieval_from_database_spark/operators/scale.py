@@ -358,3 +358,47 @@ def bucketed_join_revenue(spark, t):
             stable_sum("o_totalprice").alias("total_revenue"),
         )
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle=f"""
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               MIN(s_name) AS first_name,
+               {sql_stable_sum('s_acctbal')} AS total_acctbal
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+    covers="source: ORC round-trip (write + schema-explicit read_table + "
+    "aggregate — value fidelity across the second columnar format)",
+)
+def source_orc_roundtrip(spark, t):
+    """Supplier rollup read through an ORC copy of the table — proving the
+    engine's second columnar format preserves longs, strings, and doubles
+    bit-for-bit (the oracle reads the original parquet). The ORC copy is
+    digest-cached like every layout operator here; at 100 TB the same
+    `read_table(fmt='orc')` path serves inherited ORC lakes without a
+    parquet migration."""
+    import os
+    import shutil
+
+    from ..functions.numerics import stable_sum
+    from ..sources.connectors import read_table
+
+    sup = t["supplier"]
+    digest = _corpus_digest(sup)
+    root = "/tmp/orc_roundtrip_cache"
+    path = f"{root}/{digest}/supplier_orc"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d != digest:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        sup.write.mode("overwrite").orc(path)
+    orc = read_table(spark, path, fmt="orc", schema=sup.schema)
+    return orc.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.min("s_name").alias("first_name"),
+        stable_sum("s_acctbal").alias("total_acctbal"),
+    )

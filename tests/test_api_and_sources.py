@@ -182,3 +182,22 @@ def test_view_names_track_latest_registration(spark):
     # cache-hit path must re-register the views, not just return the dict
     register_views(spark, SF_SMOKE)
     assert spark.table("lineitem").count() == n_smoke
+
+
+def test_csv_json_roundtrip_value_fidelity(spark, tmp_path):
+    """CSV and JSON writes read back value-identical under an explicit
+    schema (read_table refuses inference by design) — longs, strings, and
+    doubles survive the text serialization."""
+    rows = [(1, "alpha", 1.5), (2, "be,ta", -0.000001), (3, None, 123456.654321)]
+    df = spark.createDataFrame(rows, "id long, name string, score double")
+    want = sorted((tuple((v is None, v) for v in r) for r in rows))
+
+    for fmt in ("csv", "json"):
+        p = str(tmp_path / fmt)
+        w = df.write.mode("overwrite")
+        (w.option("header", "true").csv(p) if fmt == "csv" else w.json(p))
+        back = read_table(spark, p, fmt=fmt, schema=df.schema)
+        got = sorted(
+            (tuple((v is None, v) for v in r) for r in (tuple(x) for x in back.collect()))
+        )
+        assert got == want, fmt
