@@ -64,6 +64,7 @@ SAMPLE_PRIORITY: list[str] = [
     "bucketed_join_revenue",
     "grouping_sets_explicit",
     "source_orc_roundtrip",
+    "streaming_sliding_halfhour",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

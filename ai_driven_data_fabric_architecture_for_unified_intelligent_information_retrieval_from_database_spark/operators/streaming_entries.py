@@ -242,3 +242,38 @@ def streaming_user_profile(spark, sf_dir):
         st.user_profile_stream(ev), "reg_stream_profile", output_mode="update"
     )
     return out
+
+
+@query_sfdir(
+    "streaming_sliding_halfhour",
+    oracle=f"""
+        WITH win AS (
+            SELECT e.*,
+                   DATE_TRUNC('hour', ts)
+                     - CASE WHEN EXTRACT(MINUTE FROM ts) < 30
+                            THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                     + s.off * INTERVAL 30 MINUTE AS window_start
+            FROM events e, (SELECT UNNEST([0, 1]) AS off) s
+        )
+        SELECT window_start, COUNT(*) AS n, {sql_stable_sum('value')} AS total_value
+        FROM win
+        WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+        GROUP BY window_start
+    """,
+    covers="2.9 expansion (STREAMING sliding window: 1h length 30m slide, "
+    "overlapping state-store panes, AvailableNow drain)",
+)
+def streaming_sliding_halfhour(spark, sf_dir):
+    """Sliding 1-hour/30-minute windows computed BY THE STREAMING ENGINE —
+    the always-on twin of events_sliding_window. Each event updates TWO
+    overlapping state-store panes; the watermark bounds how long a pane
+    stays open. Same oracle as the batch form (both candidate starts
+    generated per event)."""
+    ev = sw.events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), stable_sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+    return _ntz(sw.run_available_now(agg, "reg_stream_sliding"), "window_start")
