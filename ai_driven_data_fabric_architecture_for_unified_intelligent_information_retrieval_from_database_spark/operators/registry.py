@@ -65,6 +65,8 @@ SAMPLE_PRIORITY: list[str] = [
     "grouping_sets_explicit",
     "source_orc_roundtrip",
     "streaming_sliding_halfhour",
+    "window_cume_dist_nth",
+    "unpivot_lineitem_measures",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

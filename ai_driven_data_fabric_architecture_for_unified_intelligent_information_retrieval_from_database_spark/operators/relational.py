@@ -1267,3 +1267,87 @@ def window_first_last_value(spark, t):
             F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         )
     )
+
+
+@query(
+    "window_cume_dist_nth",
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               CUME_DIST() OVER w AS cd,
+               NTH_VALUE(s_name, 2) OVER (PARTITION BY s_nationkey
+                                          ORDER BY s_acctbal DESC, s_suppkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS second_richest
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    covers="2.5 expansion (cume_dist + nth_value — the distribution/"
+    "positional window functions the rank/ntile entries do not cover)",
+)
+def window_cume_dist_nth(spark, t):
+    """Cumulative distribution of supplier balances within each nation plus
+    the nation's second-richest supplier on every row (nth_value over the
+    full-partition frame). One s_nationkey shuffle serves both windows —
+    same scale posture as every bounded-partition window here."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), "s_suppkey"
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t["supplier"].select(
+        "s_suppkey",
+        "s_nationkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("s_name", 2).over(wfull).alias("second_richest"),
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+        SELECT measure,
+               COUNT(*) AS n,
+               {sql_stable_sum('val', 2)} AS total
+        FROM (
+            SELECT l_orderkey, 'quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, 'tax', l_tax FROM lineitem
+        )
+        GROUP BY measure
+    """,
+    covers="2.4/2.7 expansion (UNPIVOT/melt — wide measures to long "
+    "(measure, value) rows, the inverse of pivot_status_by_priority)",
+)
+def unpivot_lineitem_measures(spark, t):
+    """Melt four lineitem measures into long (measure, value) form and roll
+    them up — the inverse of the pivot entry, and the standard reshape
+    before per-measure statistics at scale (one scan, the explode is
+    map-side; the rollup shuffle carries 4 partial rows per partition).
+
+    All four measures carry at most 2 decimals, so the centi-unit
+    (scale=2) stable_sum is exact and order-independent on both engines —
+    a bare CAST would truncate in Spark but round in DuckDB, diverging by
+    one centi-unit on every x.999.. float artifact.
+    """
+    unpivoted = t["lineitem"].unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    measure = F.regexp_replace(F.col("measure"), "^l_", "")
+    # match the oracle's labels: strip the l_ prefix; extendedprice keeps
+    # its name, quantity/discount/tax likewise
+    return (
+        unpivoted.select(measure.alias("measure"), "val")
+        .groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            stable_sum("val", 2).alias("total"),
+        )
+    )
