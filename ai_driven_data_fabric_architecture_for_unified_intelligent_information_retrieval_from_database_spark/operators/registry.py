@@ -67,6 +67,8 @@ SAMPLE_PRIORITY: list[str] = [
     "streaming_sliding_halfhour",
     "window_cume_dist_nth",
     "unpivot_lineitem_measures",
+    "lateral_topn_per_order",
+    "window_ratio_to_report",
     "dedup_components",
     "streaming_user_profile",
     "events_funnel_conversion",

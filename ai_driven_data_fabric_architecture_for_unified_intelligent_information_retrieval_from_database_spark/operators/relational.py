@@ -1351,3 +1351,82 @@ def unpivot_lineitem_measures(spark, t):
             stable_sum("val", 2).alias("total"),
         )
     )
+
+
+@query(
+    "lateral_topn_per_order",
+    oracle="""
+        SELECT o.o_orderkey, l.l_partkey, l.l_extendedprice
+        FROM orders o JOIN LATERAL (
+            SELECT l_partkey, l_extendedprice FROM lineitem
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) l ON TRUE
+        WHERE o.o_orderkey < 2000
+    """,
+    covers="2.3 expansion (correlated LATERAL join — top-N-per-row as a "
+    "correlated subquery, the SQL:2016 form of the window top-k)",
+)
+def lateral_topn_per_order(spark, t):
+    """The two priciest lineitems of each early order via a correlated
+    LATERAL subquery — semantically the window row_number()<=2 pattern
+    (window_rank_per_group), expressed in its SQL:2016 lateral form.
+    Catalyst decorrelates the subquery into the same shuffle-once-on-the-
+    key plan the window form produces, so the lateral spelling costs
+    nothing extra at scale."""
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_partkey, l.l_extendedprice
+        FROM {orders} o JOIN LATERAL (
+            SELECT l_partkey, l_extendedprice FROM {lineitem}
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) l
+        WHERE o.o_orderkey < 2000
+        """,
+        orders=t["orders"],
+        lineitem=t["lineitem"],
+    )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle=f"""
+        WITH per_nation AS (
+            SELECT c_nationkey,
+                   SUM(CAST(ROUND(c_acctbal * 1000000.0) AS BIGINT)) AS bal_micro
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_nationkey,
+               bal_micro / 1000000.0 AS bal,
+               CAST(bal_micro AS DOUBLE) / SUM(bal_micro) OVER () AS share
+        FROM per_nation
+    """,
+    covers="2.5 expansion (ratio-to-report: aggregate + global-window "
+    "share, the percent-of-total reporting pattern)",
+)
+def window_ratio_to_report(spark, t):
+    """Each nation's share of total customer balance — the percent-of-total
+    report. The global window runs over the 25-row AGGREGATE, never the
+    fact table (aggregate first, window the rollup — the single-partition
+    window is fine because its input is dimension-sized; windowing the raw
+    rows would serialize the corpus through one reducer). Both the
+    per-nation totals AND the grand-total window accumulate exact
+    micro-unit LONGS — a window sum of the 25 doubles differs in the last
+    bit across the engines' summation orders; the integer window sum
+    cannot."""
+    from pyspark.sql import Window
+
+    per_nation = (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(F.sum(micro_units("c_acctbal")).alias("bal_micro"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "c_nationkey",
+        (F.col("bal_micro") / 1_000_000.0).alias("bal"),
+        (
+            F.col("bal_micro").cast("double") / F.sum("bal_micro").over(w)
+        ).alias("share"),
+    )
