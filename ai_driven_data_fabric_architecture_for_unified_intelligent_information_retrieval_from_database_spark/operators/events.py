@@ -75,9 +75,11 @@ def events_tumbling_window(spark, t):
     )
 
 
-@query(
-    "events_sliding_window",
-    oracle=f"""
+#: DuckDB twin of Spark's epoch-aligned 1h/30m sliding window: each event
+#: generates BOTH candidate pane starts, then keeps the panes that contain
+#: it. Shared verbatim by the batch entry below and the streaming twin
+#: (operators/streaming_entries.py) so a boundary-math fix cannot diverge.
+SLIDING_WINDOW_ORACLE = f"""
         WITH win AS (
             SELECT e.*,
                    DATE_TRUNC('hour', ts)
@@ -90,7 +92,12 @@ def events_tumbling_window(spark, t):
         FROM win
         WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
         GROUP BY window_start
-    """,
+    """
+
+
+@query(
+    "events_sliding_window",
+    oracle=SLIDING_WINDOW_ORACLE,
     covers="2.9 expansion (sliding window: 1h length, 30m slide)",
 )
 def events_sliding_window(spark, t):

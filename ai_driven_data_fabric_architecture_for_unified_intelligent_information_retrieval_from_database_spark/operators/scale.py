@@ -117,18 +117,12 @@ def partition_pruned_daily_read(spark, t):
 
     day_events = t["events"].withColumn("day", F.col("ts").cast("date"))
     digest = _corpus_digest(t["events"])
-    root = "/tmp/events_by_day_cache"
-    path = f"{root}/{digest}/events_by_day"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # A content-keyed digest mints a new directory whenever the corpus
-        # is regenerated in place — prune the now-orphaned siblings first
-        # or repeated regenerate+bench cycles grow /tmp without bound.
-        import shutil
-        if os.path.isdir(root):
-            for d in os.listdir(root):
-                if d != digest:
-                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        write_partitioned(day_events, path, ["day"])
+    path = _cached_layout(
+        "/tmp/events_by_day_cache",
+        digest,
+        "events_by_day",
+        lambda p: write_partitioned(day_events, p, ["day"]),
+    )
     return (
         spark.read.parquet(path)
         .where(F.col("day").between("2024-01-10", "2024-01-12"))
@@ -256,6 +250,41 @@ def sampling_stratified_quota(spark, t):
     )
 
 
+#: Minimum age before an orphaned cache digest may be pruned. A sibling
+#: digest that is minutes old is plausibly ANOTHER live session's cache
+#: (parallel test + bench runs share /tmp) — rmtree'ing it mid-scan fails
+#: that session's query. An hour-old orphan is a regenerated corpus's
+#: leftover; pruning those still bounds disk growth.
+_PRUNE_MIN_AGE_S = 3600
+
+
+def _cached_layout(root: str, digest: str, leaf: str, write_fn) -> str:
+    """Digest-keyed layout cache under ``root``: returns ``root/digest/leaf``,
+    invoking ``write_fn(path)`` once when no completed copy (_SUCCESS) is
+    there, and age-prunes orphaned sibling digests (see _PRUNE_MIN_AGE_S).
+    One implementation for every cached-layout operator in this module —
+    the protocol (freshness key, completion marker, prune policy) must not
+    drift between them."""
+    import os
+    import shutil
+    import time
+
+    path = os.path.join(root, digest, leaf)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if os.path.isdir(root):
+            now = time.time()
+            for d in os.listdir(root):
+                full = os.path.join(root, d)
+                try:
+                    old_enough = now - os.path.getmtime(full) > _PRUNE_MIN_AGE_S
+                except OSError:
+                    continue
+                if d != digest and old_enough:
+                    shutil.rmtree(full, ignore_errors=True)
+        write_fn(path)
+    return path
+
+
 def _corpus_digest(*dfs) -> str:
     """Digest of the source files' (path, size, mtime) across every given
     DataFrame — the freshness key shared by every cached-layout operator
@@ -336,13 +365,23 @@ def bucketed_join_revenue(spark, t):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
         # prune orphaned digests of the same table family (corpus was
-        # regenerated in place) so repeated cycles don't grow the warehouse
+        # regenerated in place) so repeated cycles don't grow the
+        # warehouse; age-guarded like _cached_layout so a concurrent
+        # session's freshly written tables are never deleted under it
+        import time
+
         prefix = table.rsplit("_", 1)[0].lower() + "_"
         if os.path.isdir(warehouse):
+            now = time.time()
             for d in os.listdir(warehouse):
-                if d.startswith(prefix) and d != table.lower():
+                full = os.path.join(warehouse, d)
+                try:
+                    old_enough = now - os.path.getmtime(full) > _PRUNE_MIN_AGE_S
+                except OSError:
+                    continue
+                if d.startswith(prefix) and d != table.lower() and old_enough:
                     spark.sql(f"DROP TABLE IF EXISTS {d}")
-                    shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+                    shutil.rmtree(full, ignore_errors=True)
         write_bucketed(df, table, key, n_buckets=16, sort_col=key)
 
     to, tc = f"bk_orders_{digest}", f"bk_customer_{digest}"
@@ -388,14 +427,12 @@ def source_orc_roundtrip(spark, t):
 
     sup = t["supplier"]
     digest = _corpus_digest(sup)
-    root = "/tmp/orc_roundtrip_cache"
-    path = f"{root}/{digest}/supplier_orc"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        if os.path.isdir(root):
-            for d in os.listdir(root):
-                if d != digest:
-                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        sup.write.mode("overwrite").orc(path)
+    path = _cached_layout(
+        "/tmp/orc_roundtrip_cache",
+        digest,
+        "supplier_orc",
+        lambda p: sup.write.mode("overwrite").orc(p),
+    )
     orc = read_table(spark, path, fmt="orc", schema=sup.schema)
     return orc.groupBy("s_nationkey").agg(
         F.count("*").alias("n_suppliers"),

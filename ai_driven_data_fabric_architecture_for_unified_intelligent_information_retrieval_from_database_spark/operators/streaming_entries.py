@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.numerics import sql_stable_sum, stable_sum
+from . import events as ev_ops
 from ..streaming import rollup as ru
 from ..streaming import windows as sw
 from .registry import query_sfdir
@@ -246,20 +247,7 @@ def streaming_user_profile(spark, sf_dir):
 
 @query_sfdir(
     "streaming_sliding_halfhour",
-    oracle=f"""
-        WITH win AS (
-            SELECT e.*,
-                   DATE_TRUNC('hour', ts)
-                     - CASE WHEN EXTRACT(MINUTE FROM ts) < 30
-                            THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
-                     + s.off * INTERVAL 30 MINUTE AS window_start
-            FROM events e, (SELECT UNNEST([0, 1]) AS off) s
-        )
-        SELECT window_start, COUNT(*) AS n, {sql_stable_sum('value')} AS total_value
-        FROM win
-        WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
-        GROUP BY window_start
-    """,
+    oracle=ev_ops.SLIDING_WINDOW_ORACLE,
     covers="2.9 expansion (STREAMING sliding window: 1h length 30m slide, "
     "overlapping state-store panes, AvailableNow drain)",
 )

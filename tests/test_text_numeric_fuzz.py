@@ -35,6 +35,11 @@ _PUNCT = "!@#$%^&*()_+-=[]{}|;':\",./<>?`~"
 def _gen_texts(n: int = 300) -> list[str]:
     rng = random.Random(0xFAB)
     out = ["", " ", "   ", "a", ".", "...", "a  b", " leading", "trailing "]
+    # The non-ASCII alphabets exercise normalized_text's regex-fallback
+    # branch (any char outside the kept ASCII set trips the junk detector)
+    # — the one place Java regex/Unicode lower() and DuckDB's RE2/utf8proc
+    # could legitimately diverge.
+    non_ascii = "éüñßÅÆçøœ中文😀"
     alphabets = [
         string.ascii_lowercase,
         string.ascii_letters,
@@ -42,6 +47,8 @@ def _gen_texts(n: int = 300) -> list[str]:
         _PUNCT,
         string.ascii_lowercase + " ",
         string.ascii_letters + string.digits + _PUNCT + "  ",
+        non_ascii,
+        string.ascii_lowercase + non_ascii + " " + _PUNCT,
     ]
     while len(out) < n:
         alpha = rng.choice(alphabets)
