@@ -46,61 +46,24 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: regardless).  Round-window history lives in README.md ("Correctness window
 #: rotation").
 #:
-#: Round 4 window, per ADVICE.md round 3: entries whose BEHAVIOR changed go
-#: to the FRONT of the window the external harness samples, so the driver
-#: re-verifies exactly the code that moved this round (plus the round-3
-#: rewrites that were not in the r03 window). The union across r01-r03
-#: already covers all 124 entries; from here the window tracks churn, not
-#: coverage. Names not yet registered are skipped harmlessly.
+#: Round 5 window, per the standing ADVICE r03 rule: entries whose BEHAVIOR
+#: changed this round go to the FRONT of the window the external harness
+#: samples, so the driver re-verifies exactly the code that moved. The
+#: union across r01-r04 already covers every registered entry; from here
+#: the window tracks churn, not coverage. Names not yet registered are
+#: skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # round-4 NEW operators (never driver-sampled)
-    "text_pii_scrub",
-    "text_decontaminate",
-    "text_length_histogram",
-    "sampling_stratified_quota",
-    "events_path_trigrams",
-    "basket_part_pairs",
-    "events_user_outliers",
-    "bucketed_join_revenue",
-    "grouping_sets_explicit",
-    "source_orc_roundtrip",
-    "streaming_sliding_halfhour",
-    "window_cume_dist_nth",
-    "unpivot_lineitem_measures",
-    "lateral_topn_per_order",
-    "window_ratio_to_report",
-    "dedup_components",
-    "streaming_user_profile",
-    "events_funnel_conversion",
+    # round-5 fix: the one red r04 row — oracle's bare SUM(BIGINT) widened
+    # to HUGEINT in DuckDB; now CAST to BIGINT (see its docstring)
     "sampling_pack_shards",
-    "events_retention_cohorts",
-    # round-4 behavior changes: LSH entries now emit exact-verified outputs
-    # with full oracles; tumbling-window group key, q13 rollup, bucketed-ANN
-    # probe, daily-read caching, watermark widening all touched this round;
-    # q3/q4/q8/q22 got cost-chosen broadcast forms and every stable_sum
-    # consumer rides the new micro-unit encoding (q1 most of all)
+    # round-5 behavior/plan changes (shingle-relation reuse in the LSH
+    # pipeline; q5 pre-aggregation; any cells touched by the perf work)
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q8_market_share",
-    "tpch_q22_global_sales_opportunity",
-    "events_tumbling_window",
-    "tpch_q13_customer_distribution",
-    "similarity_bucketed_ann",
-    "partition_pruned_daily_read",
-    "streaming_dedup_watermark",
-    "dedup_embedding_cosine",
-    # round-3 rewrites that were NOT in the r03 sample window (ADVICE.md):
-    # translate-based normalize, broadcast-HAVING Q18, staged star rollup
-    "tpch_q18_large_volume_customers",
-    "join_star_flagship",
-    "text_fingerprint",
-    "text_quality_score",
-    "dedup_exact",
-    "dedup_normalized_groups",
-    "dedup_ngram_jaccard",
+    "tpch_q5_local_supplier_volume",
+    "bucketed_join_revenue",
+    "text_pii_scrub",
+    # round-5 NEW operators (never driver-sampled) are appended here as
+    # they land
 ]
 
 

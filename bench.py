@@ -199,10 +199,18 @@ def main() -> None:
             # than 16 (q3 −35%, q5 −35%, sessionize −25%, minhash −20%);
             # 4 bought little more and starved the quadratic ngram cell's
             # real compute in some runs.
+            # Default tracks the actual host core count so "one partition
+            # per core" holds everywhere; SPARK_GRAFT_CPUS overrides.
             "spark.sql.shuffle.partitions": (
                 "8"
                 if largest < 64 * 1024 * 1024
-                else str(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+                else str(
+                    int(
+                        os.environ.get(
+                            "SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)
+                        )
+                    )
+                )
             ),
             # AQE's value is runtime re-planning of LARGE shuffles
             # (coalescing, skew splitting, broadcast demotion); at sf0.1

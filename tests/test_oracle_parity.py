@@ -100,9 +100,61 @@ def test_query_matches_oracle(spark, ddb, name):
     )
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_projection_has_no_hugeint(ddb, name):
+    """No oracle may emit HUGEINT in its FINAL projection.
+
+    DuckDB widens SUM(BIGINT) to HUGEINT (int128); Spark has no int128, so
+    the engines can never agree at the dtype level, and HUGEINT's
+    pandas/arrow conversion is duckdb-version-dependent (float64 vs
+    object/decimal). The local row compare uses fetchall(), where HUGEINT
+    and int64 both arrive as Python int and silently match — which is
+    exactly how sampling_pack_shards passed here while failing the
+    driver's dtype-sensitive value hash in round 4. Binding the relation
+    (no execution) surfaces the output types; CAST the offending sum to
+    BIGINT (or DOUBLE) in the oracle instead.
+    """
+    types = [str(t).upper() for t in ddb.sql(oracle_sql()[name]).types]
+    offenders = [t for t in types if "HUGEINT" in t]
+    assert not offenders, (
+        f"{name}: oracle projects {offenders} — cast to BIGINT/DOUBLE "
+        "(driver hash compare is dtype-sensitive; Spark has no int128)"
+    )
+
+
 def test_all_queries_have_coverage_note():
     for name, rq in REGISTRY.items():
         assert rq.covers, f"{name} lacks a SURVEY coverage note"
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_pack_shards_driver_style_hash(spark, sf_dir):
+    """Driver-style DTYPE-SENSITIVE compare for the one entry that failed
+    the round-4 driver hash while passing the scalar-level compare above:
+    both results go through pandas (the driver's path), and the frames
+    must match dtype-for-dtype, value-for-value at every test SF. A
+    HUGEINT regression in the oracle fails here as float64/object vs
+    int64 even though the scalar values are equal."""
+    import pandas as pd
+
+    name = "sampling_pack_shards"
+    sdf = queries()[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ddf = con.execute(oracle_sql()[name]).fetchdf()
+    con.close()
+
+    def canon(df: "pd.DataFrame") -> "pd.DataFrame":
+        cols = sorted(df.columns)
+        return df[cols].sort_values(by=cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(sdf), canon(ddf), check_dtype=True)
 
 
 def test_rows_only_queries_run(spark):
