@@ -182,17 +182,17 @@ def streaming_dedup_watermark(spark, sf_dir):
     maxFilesPerTrigger), so eviction never fires mid-drain; and the
     watermark delay (90 days) is wider than the bounded corpus's whole
     time span, so even a multi-batch replay in arbitrary order could not
-    evict live state. An unbounded production feed would use a real
-    lateness bound (e.g. '1 hour') and accept the corresponding
-    late-drop semantics."""
+    evict live state. The second defense is no longer only argued: the
+    multi-batch replay test (tests/test_streaming.py::
+    test_dedup_watermark_multibatch_shuffled_order) drains the same
+    corpus one file per micro-batch in a shuffled file order and proves
+    the emitted key set identical to this single-batch drain. An
+    unbounded production feed would use a real lateness bound (e.g.
+    '1 hour') and accept the corresponding late-drop semantics."""
     ev = sw.events_stream(spark, sf_dir)
-    keyed = ev.withColumn("minute_ts", F.date_trunc("minute", F.col("ts")))
-    dd = (
-        keyed.withWatermark("minute_ts", "90 days")
-        .dropDuplicates(["user_id", "event_type", "minute_ts"])
-        .select("user_id", "event_type", "minute_ts")
+    out = sw.run_available_now(
+        sw.dedup_keyed(ev), "reg_stream_dedup", output_mode="append"
     )
-    out = sw.run_available_now(dd, "reg_stream_dedup", output_mode="append")
     return _ntz(out, "minute_ts")
 
 

@@ -50,13 +50,55 @@ def events_stream(
     if not os.path.exists(link):
         os.symlink(src, link)
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    # Watermarks require TIMESTAMP (not NTZ); under the pinned UTC session
-    # the wall-clock values are identical to the batch catalog's NTZ ones.
+    return _with_event_time(stream)
+
+
+def _with_event_time(stream: DataFrame) -> DataFrame:
+    """Normalize the raw ``ts`` column to a watermarkable TIMESTAMP.
+
+    Watermarks require TIMESTAMP (not NTZ); under the pinned UTC session
+    the wall-clock values are identical to the batch catalog's NTZ ones.
+    The bigint branch handles TIMESTAMP(NANOS) parquet read under the
+    session's nanosAsLong conf."""
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+def events_stream_from_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    parts_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over an arbitrary directory of event part files (schema
+    taken from the canonical corpus at ``sf_dir``) — the multi-micro-batch
+    form of :func:`events_stream`. With ``max_files_per_trigger=1`` an
+    AvailableNow drain processes one file per micro-batch in the source's
+    file order (oldest mtime first), which is how the tests replay the
+    corpus as an out-of-order multi-batch feed."""
+    register_views(spark, sf_dir)  # pins session confs (UTC, nanosAsLong)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _with_event_time(reader.parquet(parts_dir))
+
+
+def dedup_keyed(events: DataFrame, watermark: str = "90 days") -> DataFrame:
+    """Idempotency-key dedup plan shared by the registry entry
+    (streaming_dedup_watermark) and the multi-batch replay test: at most
+    one row per (user_id, event_type, minute), state bounded by the
+    watermark. Kept in one place so the tested plan can never drift from
+    the registered one."""
+    keyed = events.withColumn("minute_ts", F.date_trunc("minute", F.col("ts")))
+    return (
+        keyed.withWatermark("minute_ts", watermark)
+        .dropDuplicates(["user_id", "event_type", "minute_ts"])
+        .select("user_id", "event_type", "minute_ts")
+    )
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -217,3 +217,54 @@ def test_rollup_checkpointed_drain_and_conf_not_leaked(spark, tmp_path_factory):
         for r in ru.read_rollup(spark, path).collect()
     }
     assert got2 == got1
+
+
+def test_dedup_watermark_multibatch_shuffled_order(spark, tmp_path_factory):
+    """The VERDICT r04 multi-batch defense, proven instead of argued: the
+    watermarked key-dedup drained one file per micro-batch, with the files
+    replayed in a SHUFFLED order (rows hash-scattered across parts, so
+    every micro-batch spans the corpus's whole time range and arrives
+    'late' relative to earlier batches), must emit exactly the same key
+    set as the registered single-batch drain — i.e. the 90-day watermark
+    really does keep state live across out-of-order micro-batches (no
+    late-key drops, no evicted-key re-emits)."""
+    import os
+    import random
+
+    stage = str(tmp_path_factory.mktemp("dedup_parts"))
+    raw = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    raw.repartition(8).write.mode("overwrite").parquet(stage)
+    parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    assert len(parts) == 8
+    # The file source processes oldest-mtime-first; stamping a shuffled
+    # permutation of mtimes fixes the replay order to that shuffle.
+    order = list(parts)
+    random.Random(5).shuffle(order)
+    base = 1_700_000_000
+    for i, p in enumerate(order):
+        os.utime(os.path.join(stage, p), (base + i, base + i))
+
+    ev = sw.events_stream_from_dir(spark, SF_SMOKE, stage, max_files_per_trigger=1)
+    q = (
+        sw.dedup_keyed(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_multibatch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0]
+    assert len(fed) == 8, f"expected 8 one-file micro-batches, saw {len(fed)}"
+
+    streamed = spark.sql("SELECT * FROM t_dedup_multibatch")
+    cols = ["user_id", "event_type", "minute_ts"]
+    got = _as_set(streamed.selectExpr(
+        "user_id", "event_type", "CAST(minute_ts AS STRING) AS minute_ts"), cols)
+    single = queries()["streaming_dedup_watermark"](spark, SF_SMOKE)
+    want = _as_set(single.selectExpr(
+        "user_id", "event_type", "CAST(minute_ts AS STRING) AS minute_ts"), cols)
+    assert want, "single-batch key set empty — vacuous"
+    assert got == want
+    # and the multi-batch output itself contains no duplicate keys
+    assert streamed.count() == len(got)
