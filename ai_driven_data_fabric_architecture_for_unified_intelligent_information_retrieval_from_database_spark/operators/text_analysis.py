@@ -398,11 +398,17 @@ def text_pii_scrub(spark, t):
     build the identical corpus before scrubbing.
 
     Scale shape: map-only scan, zero shuffle — embarrassingly parallel at
-    100 TB. The patterns stay in the Java-regex/RE2 common subset (classes +
-    bounded repetition); unlike the per-char char-class replaceAll that
-    anti-scaled in round 3 (functions/text.py::normalized_text), a bounded
-    structured pattern like an email is what regex engines are for — the
-    match attempts fail fast on the first character for non-PII positions.
+    100 TB. The r04 "structured patterns parallelize fine" claim is now
+    MEASURED, not argued (tools/pii_microbench.py at sf10, 500 k docs):
+    the kernel scales 14x across 32 executor threads (round 3's char-class
+    anti-scaling failure mode is absent), but Java regex is ~7.5x slower
+    per core than DuckDB's RE2 on the same patterns (17.1 s vs 2.3 s
+    single-core). Hence the literal guards below: both patterns contain a
+    mandatory literal ('@', '+1-555-'), so each regex runs only on rows
+    whose text `contains` that literal — a JVM indexOf scan at memory
+    bandwidth — which cuts the kernel 2.5x (17.2 -> 6.9 s single-core,
+    1.23 -> 0.75 s on 32 threads) with byte-identical output (a regex on
+    a row without its literal cannot match or rewrite anything).
     """
     d = t["documents"]
     injected = F.concat(
@@ -419,17 +425,26 @@ def text_pii_scrub(spark, t):
             ),
         ).otherwise(""),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("t2"), PII_EMAIL_RE, "[EMAIL]"),
-        PII_PHONE_RE,
-        "[PHONE]",
-    )
+    has_at = F.col("t2").contains("@")
+    has_ph = F.col("t2").contains("+1-555-")
+    n_emails = F.when(
+        has_at, F.regexp_count("t2", F.lit(PII_EMAIL_RE))
+    ).otherwise(F.lit(0))
+    n_phones = F.when(
+        has_ph, F.regexp_count("t2", F.lit(PII_PHONE_RE))
+    ).otherwise(F.lit(0))
+    emails_scrubbed = F.when(
+        has_at, F.regexp_replace(F.col("t2"), PII_EMAIL_RE, "[EMAIL]")
+    ).otherwise(F.col("t2"))
+    scrubbed = F.when(
+        has_ph, F.regexp_replace(emails_scrubbed, PII_PHONE_RE, "[PHONE]")
+    ).otherwise(emails_scrubbed)
     return (
         d.select("doc_id", injected.alias("t2"))
         .select(
             "doc_id",
-            F.regexp_count("t2", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-            F.regexp_count("t2", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+            n_emails.cast("long").alias("n_emails"),
+            n_phones.cast("long").alias("n_phones"),
             F.md5(scrubbed).alias("scrubbed_fp"),
         )
     )

@@ -153,18 +153,39 @@ def test_q3_two_forms(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_q5_single_big_shuffle_join(spark):
-    """Exactly one shuffle join (the orderkey exchange); every dim and the
-    ASIA supplier/customer restrictions arrive by broadcast, so the one
-    big exchange carries only the ASIA slice of lineitem."""
-    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
-    # formatted output repeats each node in the detail section; count the
-    # tree section only
-    tree = plan.split("\n\n")[0]
-    n_shuffle_joins = tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin")
-    assert n_shuffle_joins <= 1, tree
-    assert "LeftSemi" in plan, plan[:2500]  # ASIA customer prefilter
-    assert plan.count("BroadcastHashJoin") >= 4, plan[:2500]
+def test_q5_two_forms(spark):
+    """Q5 is cost-chosen (round 5). Small SF: the qualifying ASIA-orders
+    slice broadcasts INTO the lineitem scan — ZERO shuffle joins; the only
+    exchange is the 5-group final aggregate. Threshold off: revenue
+    pre-aggregates per (orderkey, nationkey) BELOW the compound join
+    (partial_sum before the exchange), whose hash partitioning the join
+    then reuses — no second exchange on the fact path."""
+    plan_small = plan_of(spark, "tpch_q5_local_supplier_volume")
+    tree = plan_small.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree, tree
+    assert "LeftSemi" in plan_small, plan_small[:2500]  # ASIA customer prefilter
+    assert plan_small.count("BroadcastHashJoin") >= 4, plan_small[:2500]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_big = plan_of(spark, "tpch_q5_local_supplier_volume")
+        tree_big = plan_big.split("\n\n")[0]
+        assert "partial_sum" in plan_big, plan_big[:2500]
+        # Exchange-reuse proof: the compound SortMergeJoin's fact child is
+        # Sort directly over the pre-agg's final HashAggregate — no
+        # Exchange between them, because the join reuses the aggregate's
+        # hash(l_orderkey, s_nationkey) partitioning.
+        import re
+
+        m = re.search(
+            r"SortMergeJoin Inner \(\d+\)\n"
+            r"[^\n]*:- Sort \(\d+\)\n"
+            r"[^\n]*\+- HashAggregate \(\d+\)\n",
+            tree_big,
+        )
+        assert m, tree_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_q22_not_exists_is_anti_join_with_broadcast_scalar(spark):

@@ -39,16 +39,25 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     path = os.path.join(sf_dir, "lineitem.parquet")
-    nbytes = os.path.getsize(path)
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # re-chunked layouts store each table as a DIRECTORY of part files;
+    # DuckDB needs the glob form, Spark reads the directory natively.
+    if os.path.isdir(path):
+        duck_path = os.path.join(path, "*.parquet")
+        nbytes = sum(
+            os.path.getsize(os.path.join(path, g)) for g in os.listdir(path)
+        )
+    else:
+        duck_path = path
+        nbytes = os.path.getsize(path)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
 
     import duckdb
 
     duck_sql = {
-        "count": f"SELECT COUNT(*) FROM read_parquet('{path}')",
+        "count": f"SELECT COUNT(*) FROM read_parquet('{duck_path}')",
         "revenue": (
             "SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000.0)"
-            f" AS BIGINT)) FROM read_parquet('{path}')"
+            f" AS BIGINT)) FROM read_parquet('{duck_path}')"
         ),
     }
     duck: dict[str, float] = {}
@@ -81,12 +90,26 @@ def main() -> None:
     # splits of the file — finer splits just buy task-dispatch overhead,
     # measured 0.55 s of pure dispatch at 550 splits).
     par_split = min(max(nbytes // 64, 256 * 1024), 128 * 1024 * 1024)
-    for split, tag in ((str(1 << 40), "t1"), (str(par_split), f"t{cpus}")):
-        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
-        df = spark.read.parquet(path)
+    # Round-5 fix: the single-core mode is coalesce(1), not a huge
+    # maxPartitionBytes — Spark sizes splits as min(maxPartitionBytes,
+    # max(openCostInBytes, totalBytes/defaultParallelism)), so the split
+    # conf alone still fanned the scan across all cores and the earlier
+    # "t1" numbers here were in fact parallel. coalesce merges the file
+    # splits without a shuffle; n_partitions in the output proves the
+    # mode. Kernels are also built fresh per pass (re-collecting one
+    # DataFrame object is served by a result-reuse path in ~50 ms).
+    n_parts: dict[str, int] = {}
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(par_split))
+    for single, tag in ((True, "t1"), (False, f"t{cpus}")):
+
+        def _read():
+            d = spark.read.parquet(path)
+            return d.coalesce(1) if single else d
+
+        n_parts[tag] = _read().rdd.getNumPartitions()
         kernels = {
-            "count": lambda d=df: d.selectExpr("count(*)").collect(),
-            "revenue": lambda d=df: d.agg(rev.alias("s")).collect(),
+            "count": lambda: _read().selectExpr("count(*)").collect(),
+            "revenue": lambda: _read().agg(rev.alias("s")).collect(),
         }
         for k, fn in kernels.items():
             fn()  # warm (codegen + page cache)
@@ -99,6 +122,7 @@ def main() -> None:
         "cpus": cpus,
         "duckdb": {k: round(v, 4) for k, v in duck.items()},
         "spark": {k: round(v, 4) for k, v in sp.items()},
+        "spark_scan_partitions": n_parts,
         "per_core_ratio_revenue": round(sp["revenue_t1"] / duck["revenue_t1"], 2),
         "per_core_ratio_count": round(sp["count_t1"] / duck["count_t1"], 2),
     }
