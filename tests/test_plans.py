@@ -96,6 +96,34 @@ def test_no_python_udf_in_relational_paths(spark):
         assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
 
 
+def test_minhash_lsh_single_scan(spark):
+    """Round-5 shingle-reuse gate: the whole LSH pipeline (signatures,
+    banding self-join, exact array-intersect verify) reads the documents
+    parquet exactly ONCE — the r04 plan re-derived hashed shingles for the
+    verify stage (second scan), the r04 verdict's one actionable plan
+    finding. Shared subtrees must collapse to ReusedExchange.
+
+    The gate pins the at-scale shuffle form: threshold off (at toy SF the
+    planner broadcasts the shared relations as separate inlined branches,
+    which re-lists the scan per broadcast subtree — a small-data plan
+    shape, not data movement) and AQE off (under AQE the static ReuseExchange
+    rule is deferred to runtime stage reuse, so the pre-execution plan
+    prints unshared subtrees; the static planner is where the sharing is
+    provable)."""
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "dedup_minhash_lsh")
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Scan parquet") == 1, tree
+        assert "ReusedExchange" in tree, tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_multimodal_decode_is_arrow_batched(spark):
     plan = plan_of(spark, "multimodal_decode_features")
     assert "MapInPandas" in plan, plan[:1500]

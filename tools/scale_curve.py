@@ -72,9 +72,14 @@ def main() -> None:
         # bottleneck — ~10 s at sf1 vs Spark's LSH pipeline at ~1.7 s, and
         # effectively unbounded at sf10 (killed after 5 min) — so past sf1
         # neither engine runs it.
+        # dedup_components consumes the same quadratic exact-Jaccard pair
+        # source (and its oracle is a recursive CTE over that pair list),
+        # so it follows the same past-sf1 rule.
         tail = d.rstrip("/").rsplit("sf", 1)[-1]
         if tail.replace(".", "").isdigit() and float(tail) > 1:
-            env["SPARK_GRAFT_BENCH_SKIP"] = "dedup_ngram_jaccard,dedup_minhash_lsh"
+            env["SPARK_GRAFT_BENCH_SKIP"] = (
+                "dedup_ngram_jaccard,dedup_minhash_lsh,dedup_components"
+            )
         spark = run_json([sys.executable, "bench.py"], env=env)
         duck = run_json([sys.executable, "tools/bench_duckdb.py", d], env=env)
         results.append({"sf_dir": d, "spark": spark, "duckdb": duck})
