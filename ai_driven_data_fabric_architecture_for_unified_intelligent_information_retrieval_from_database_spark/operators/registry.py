@@ -62,6 +62,8 @@ SAMPLE_PRIORITY: list[str] = [
     "tpch_q5_local_supplier_volume",
     "bucketed_join_revenue",
     "text_pii_scrub",
+    # round-5 plan refactor (shared dedup_keyed helper; drain unchanged)
+    "streaming_dedup_watermark",
     # round-5 NEW operators (never driver-sampled) are appended here as
     # they land
 ]
