@@ -64,8 +64,13 @@ SAMPLE_PRIORITY: list[str] = [
     "text_pii_scrub",
     # round-5 plan refactor (shared dedup_keyed helper; drain unchanged)
     "streaming_dedup_watermark",
-    # round-5 NEW operators (never driver-sampled) are appended here as
-    # they land
+    # round-5 NEW operators (never driver-sampled)
+    "text_repetition_stats",
+    "text_tfidf_top_terms",
+    "sampling_temperature_mix",
+    "window_range_interval_trailing",
+    "cdc_merge_apply",
+    "cdc_scd2_intervals",
 ]
 
 
@@ -149,6 +154,7 @@ def _ensure_loaded() -> None:
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import events  # noqa: F401
+    from . import changes  # noqa: F401
     from . import temporal  # noqa: F401
     from . import text_analysis  # noqa: F401
     from . import scale  # noqa: F401

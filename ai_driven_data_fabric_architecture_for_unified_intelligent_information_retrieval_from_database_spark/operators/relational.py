@@ -1430,3 +1430,60 @@ def window_ratio_to_report(spark, t):
             F.col("bal_micro").cast("double") / F.sum("bal_micro").over(w)
         ).alias("share"),
     )
+
+
+@query(
+    "window_range_interval_trailing",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT))
+                       AS rev_micro
+            FROM orders GROUP BY 1
+        )
+        SELECT day,
+               rev_micro / 1000000.0 AS revenue,
+               SUM(rev_micro) OVER w / (1000000.0 * COUNT(*) OVER w)
+                   AS trail7_avg,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window
+        FROM daily
+        WINDOW w AS (ORDER BY (day - DATE '1970-01-01')
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    covers="2.5 expansion (RANGE frame over an interval key: 7-day "
+    "trailing average — value-based frames, which no ROWS entry covers)",
+)
+def window_range_interval_trailing(spark, t):
+    """Seven-day trailing revenue average per order day — a RANGE frame
+    over the date value (days with no orders shrink the window; a ROWS
+    frame would silently average over gaps, which is the semantic
+    difference this entry pins).
+
+    The window ORDER key is the epoch-day integer on both engines, so the
+    frame arithmetic is integer range matching, no interval-type
+    divergence. The frame aggregates exact micro-unit longs; the single
+    division at the end is bit-identical.
+
+    Scale shape: the window input is POST-aggregation — one row per
+    calendar day, a relation bounded by the date domain (~2.4k rows for
+    this corpus's 7 years), not by corpus size. The unpartitioned window's
+    single reducer therefore stays constant-size at 100 TB; the heavy
+    lifting (orders-grain rollup) happens in the partial-combining
+    groupBy below it."""
+    from pyspark.sql import Window
+
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(micro_units("o_totalprice")).alias("rev_micro"))
+    )
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        (F.col("rev_micro") / 1_000_000.0).alias("revenue"),
+        (
+            F.sum("rev_micro").over(w)
+            / (F.lit(1_000_000.0) * F.count("*").over(w))
+        ).alias("trail7_avg"),
+        F.count("*").over(w).cast("long").alias("n_days_in_window"),
+    )

@@ -491,3 +491,69 @@ def source_orc_roundtrip(spark, t):
         F.min("s_name").alias("first_name"),
         stable_sum("s_acctbal").alias("total_acctbal"),
     )
+
+
+@query(
+    "sampling_temperature_mix",
+    oracle="""
+        WITH q AS (
+            SELECT source,
+                   CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 2) AS BIGINT)
+                       AS quota
+            FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, q.quota
+        FROM ranked r JOIN q USING (source)
+        WHERE r.rk <= q.quota
+    """,
+    covers="pipeline: temperature-flattened source mixing (alpha=0.5 "
+    "per-source quotas, content-addressed pick)",
+)
+def sampling_temperature_mix(spark, t):
+    """Source-mix flattening at temperature alpha = 0.5: each source
+    contributes ``floor(2 * n_source^alpha)`` documents instead of
+    ``n_source`` — the standard multilingual/multi-source rebalancing
+    (big sources are down-weighted toward the square root of their size
+    so small sources are not drowned; the public mT5/XLM-R sampling
+    recipe, applied as deterministic quotas instead of draw
+    probabilities). Which documents fill a quota is content-addressed
+    (md5-of-id rank, same contract as sampling_stratified_quota):
+    re-runs and corpus appends keep picks stable.
+
+    Cross-engine exactness: the quota arithmetic is SQRT (IEEE
+    correctly-rounded in both engines) times 2 (a power of two — the
+    multiplication is exact), floored to an integer; no transcendental
+    ever enters. The multiplier 2 is sized so the quota BINDS on the
+    driver corpora (20 uniform sources: 2*sqrt(25) = 10 of 25 docs kept
+    per source at sf0.01) — a quota that never filters would make the
+    oracle check vacuous. The per-source quota relation is tiny and broadcasts
+    into the ranked scan; the rank window substratifies exactly like
+    sampling_stratified_quota's giant-stratum recipe at 100 TB."""
+    from pyspark.sql import Window
+
+    q = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.floor(F.sqrt(F.count("*").cast("double")) * 2)
+            .cast("long")
+            .alias("quota")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = t["documents"].select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return ranked.join(F.broadcast(q), "source").where(
+        F.col("rk") <= F.col("quota")
+    ).select("doc_id", "source", "rk", "quota")

@@ -480,3 +480,171 @@ def text_fuzzy_name_pairs(spark, t):
         )
         .where(F.col("dist") <= 1)
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+        WITH bi AS (
+            SELECT doc_id, w1 || ' ' || ws[i + 1] AS bg
+            FROM (
+                SELECT doc_id, ws, UNNEST(ws) AS w1,
+                       UNNEST(RANGE(1, LEN(ws) + 1)) AS i
+                FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+                      FROM documents)
+            )
+            WHERE i < LEN(ws)
+        ),
+        per_bg AS (
+            SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+            FROM per_bg GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams, top_bigram_n,
+               CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+               CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+                   AS dup_bigram_frac,
+               (CAST(top_bigram_n AS DOUBLE) / n_bigrams > 0.05
+                OR CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+                   > 0.2) AS flagged
+        FROM per_doc
+    """,
+    covers="pipeline: repetition quality signals (duplicate/top bigram "
+    "fractions — the Gopher/C4-style boilerplate filters)",
+)
+def text_repetition_stats(spark, t):
+    """Per-document repetition signals: the fraction of word bigrams that
+    are duplicates of an earlier bigram, and the share of the single most
+    repeated bigram — the classic repetitive-document quality filters
+    (public Gopher/C4-style rules: boilerplate, keyword stuffing, and
+    template pages all light these up).
+
+    Plan: explode bigrams, count per (doc, bigram) (map-side combine
+    collapses the repeats — the very thing being measured — before the
+    shuffle), then one per-doc rollup; the fractions are exact-integer
+    ratios so both engines emit bit-identical doubles. Scale shape:
+    shuffle rows are bounded by DISTINCT bigrams per doc, and each doc's
+    groups land on one reducer — embarrassingly parallel across docs at
+    100 TB, no global state anywhere."""
+    bi = (
+        t["documents"]
+        .select("doc_id", words_col().alias("ws"))
+        .select(
+            "doc_id",
+            # CASE guard: sequence(1, 0) would DESCEND ([1, 0]) for a
+            # 1-word doc and index 0 is out of bounds under ANSI;
+            # try_element_at covers the defensive path. DuckDB's oracle
+            # drops the same docs via its i < LEN(ws) predicate.
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(ws) - 1),"
+                    " i -> concat_ws(' ', try_element_at(ws, i),"
+                    " try_element_at(ws, i + 1))) END"
+                )
+            ).alias("bg"),
+        )
+    )
+    per_doc = (
+        bi.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+            F.count("*").alias("n_distinct_bigrams"),
+        )
+    )
+    top_frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    dup_frac = (
+        F.col("n_bigrams") - F.col("n_distinct_bigrams")
+    ).cast("double") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac > 0.05) | (dup_frac > 0.2)).alias("flagged"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM words
+            WHERE w <> '' GROUP BY doc_id, w
+        ),
+        df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.w,
+                   CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+            FROM tf JOIN df USING (w) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, w, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, w) AS rn
+            FROM scored
+        )
+        SELECT doc_id, w AS term, score, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 3
+    """,
+    covers="pipeline: TF-IDF top terms per document (document "
+    "keyword/topic extraction over the corpus vocabulary)",
+)
+def text_tfidf_top_terms(spark, t):
+    """Top-3 characteristic terms per document by TF-IDF — the corpus-wide
+    keyword extractor (topic tagging, index building, near-dup triage).
+
+    The score is the rank-equivalent rational form ``tf * N / df`` instead
+    of the textbook ``tf * ln(N/df)``: ln is monotone, so rankings are
+    identical, and the rational form is exact integer arithmetic followed
+    by ONE IEEE division — bit-identical across engines, where
+    ``Math.log`` vs libm ``log`` is not.
+
+    Plan: one explode feeds both the per-(doc, term) counts and (via a
+    second rollup of that relation — never the raw corpus again) the
+    document frequencies; the corpus size joins in as a broadcast scalar;
+    the df join shuffles (term, df) pairs against the tf relation on the
+    term key; the top-3 window partitions per doc. At 100 TB every shuffle
+    carries counted pairs, not text bodies, and df/vocabulary relations
+    grow sublinearly with the corpus."""
+    words = (
+        t["documents"]
+        .select("doc_id", F.explode(words_col()).alias("w"))
+        .where(F.col("w") != "")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = t["documents"].agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(df_rel, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "score", "rn")
+    )
