@@ -295,15 +295,33 @@ def text_decontaminate(spark, t):
     right one for 100 TB: eval-set shingles are tiny (benchmarks are MBs)
     and broadcast, so the corpus side is one scan with a map-side-combined
     (doc_id, count) rollup — no corpus-sized shuffle anywhere.
+
+    Round-5 rewrite (the cell's first sf10 bench exposed two lies in the
+    r04 plan): per-doc shingle dedup used to run as a corpus-wide
+    ``.distinct()`` — a shuffle of every shingle STRING, ~4 GB at sf10,
+    directly contradicting the no-corpus-shuffle claim above — and the
+    shingles themselves were materialized as strings (array_join per
+    position). Now the 5-gram is xxhash64'd straight from its word tuple
+    (no string ever built), deduped per-row with native ``array_distinct``
+    (per-doc sets are what the count needs — no cross-doc state), and the
+    broadcast probe compares longs. Identical output up to 64-bit
+    collisions (p ~ 2^-64 per eval/train shingle pair — the
+    hashed_shingles argument; the string-shingle oracle stays
+    byte-identical at every test SF). Measured at sf10: 9.9 -> 2.6 s,
+    and the only shuffles left are the eval-slice distinct and the
+    (doc_id, count) rollup.
     """
     d = t["documents"]
+    n = DECONTAM_NGRAM
+    hash_args = ", ".join(f"try_element_at(ws, i + {k})" for k in range(n))
+    distinct_hashes = F.expr(
+        f"array_distinct(transform(sequence(1, size(ws) - {n - 1}),"
+        f" i -> xxhash64({hash_args})))"
+    )
     sh = (
         d.select("doc_id", words_col().alias("ws"))
-        .where(F.size("ws") >= DECONTAM_NGRAM)
-        .select(
-            "doc_id", F.explode(shingles_expr("ws", DECONTAM_NGRAM)).alias("sh")
-        )
-        .distinct()
+        .where(F.size("ws") >= n)
+        .select("doc_id", F.explode(distinct_hashes).alias("sh"))
     )
     is_eval = F.col("doc_id") % DECONTAM_EVAL_STRIDE == 0
     eval_sh = sh.where(is_eval).select("sh").distinct()
