@@ -77,11 +77,11 @@ def cdc_merge_apply(spark, t):
 
     Scale shape: ONE shuffle of each side on the merge key — the same
     cost as any keyed join at 100 TB; no collect, no per-row dispatch.
-    The change feed is usually tiny relative to the snapshot, in which
-    case Catalyst broadcasts it and the snapshot never moves at all
-    (at this corpus's scale the feed is ~3/10 of orders, so the gate
-    picks the shuffle form — both are exercised by the differential
-    suite's threshold-off pass)."""
+    (A full-outer equi-join cannot broadcast in Spark — BroadcastHashJoin
+    does not support full outer — so both sides always exchange
+    regardless of feed size; a lakehouse MERGE INTO beats this shape not
+    by broadcasting but by file-skipping to the touched partitions,
+    which is what the delta/iceberg connectors would add.)"""
     o = t["orders"]
     snapshot = o.select(
         F.col("o_orderkey").alias("key"),
@@ -166,18 +166,27 @@ def cdc_scd2_intervals(spark, t):
     is NULL). The lag-flag / running-sum / lead chain is the standard
     distributed run-length encoding — one shuffle on user_id serves every
     window and the rollup, so at 100 TB this is a single partition-and-
-    sort of the feed, no iteration."""
+    sort of the feed, no iteration. Plan body in :func:`scd2_intervals`
+    so the NULL-state differential test (tests/test_text_numeric_fuzz.py)
+    can drive it on synthetic input."""
+    return scd2_intervals(t["events"])
+
+
+def scd2_intervals(events):
+    """See :func:`cdc_scd2_intervals`."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("event_type").over(w)
-    chg = (
-        prev.isNull() | (F.col("event_type") != prev)
-    ).cast("long")
+    # eqNullSafe mirrors the oracle's IS DISTINCT FROM exactly: with a
+    # plain != the flag is NULL (skipped by SUM) whenever either side is
+    # NULL, silently merging a NULL state into the preceding run — a
+    # latent divergence the first corpus with NULL event_types would
+    # surface as a driver hash mismatch.
+    chg = (~F.col("event_type").eqNullSafe(prev)).cast("long")
     runs = (
-        t["events"]
-        .select("user_id", "event_type", "ts", "event_id")
+        events.select("user_id", "event_type", "ts", "event_id")
         .withColumn("run_id", F.sum(chg).over(wrun))
     )
     intervals = runs.groupBy("user_id", "event_type", "run_id").agg(

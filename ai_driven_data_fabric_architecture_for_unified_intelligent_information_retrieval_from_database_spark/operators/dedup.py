@@ -313,13 +313,17 @@ def hashed_shingles(t) -> DataFrame:
     )
 
 
-def minhash_signatures(t) -> DataFrame:
+def minhash_signatures(t, with_sets: bool = False) -> DataFrame:
     """Per-doc MinHash signature plus the distinct-shingle count ``sz``,
     from one distinct + one aggregate over :func:`hashed_shingles` — the
     N_PERM permutation mins and the set size come out of the SAME
-    codegen'd aggregate (``sz`` is ``count(*)`` because the input is
-    already the distinct set), so the LSH verify stage needs no second
-    aggregation over the shingle relation.
+    aggregate (``sz`` is ``count(*)`` because the input is already the
+    distinct set), so the LSH verify stage needs no second aggregation
+    over the shingle relation. With ``with_sets=True`` the aggregate also
+    carries the full hashed-shingle set per doc (``hset``, collect_list —
+    this is what dedup_minhash_lsh's array-intersect verify consumes; it
+    moves the whole aggregate to ObjectHashAggregate, so plain-signature
+    consumers keep the default codegen'd form).
 
     Two rewrites were measured at sf0.1 and REJECTED: (a) fully per-row
     signatures via ``array_min(transform(hset, ...))`` x16 — higher-order
@@ -335,6 +339,8 @@ def minhash_signatures(t) -> DataFrame:
         for p in range(N_PERM)
     ]
     aggs.append(F.count("*").alias("sz"))
+    if with_sets:
+        aggs.append(F.collect_list("hsh").alias("hset"))
     return hashed_shingles(t).groupBy("doc_id").agg(*aggs)
 
 
@@ -412,13 +418,7 @@ def dedup_minhash_lsh(spark, t):
     # At 100 TB the aggregate's memory is the corpus's distinct shingle
     # hashes grouped per doc — the same bytes the r04 plan shuffled as
     # rows — and ObjectHashAggregate spills per partition.
-    sig_aggs = [
-        F.min(F.xxhash64(F.col("hsh"), F.lit(p))).alias(f"h{p}")
-        for p in range(N_PERM)
-    ]
-    sig_aggs.append(F.count("*").alias("sz"))
-    sig_aggs.append(F.collect_list("hsh").alias("hset"))
-    sig = hashed_shingles(t).groupBy("doc_id").agg(*sig_aggs)
+    sig = minhash_signatures(t, with_sets=True)
     rows_per_band = N_PERM // N_BANDS
     # One slim (doc_id, sz, band_idx, band_key) relation via posexplode,
     # then a SINGLE self-join on (band_idx, band_key) — not one join per

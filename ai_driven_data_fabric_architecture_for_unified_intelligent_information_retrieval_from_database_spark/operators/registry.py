@@ -62,6 +62,10 @@ SAMPLE_PRIORITY: list[str] = [
     "tpch_q5_local_supplier_volume",
     "bucketed_join_revenue",
     "text_pii_scrub",
+    # round-5 rewrite: shingles hashed from word tuples (output identical
+    # up to 2^-64 collisions — the one entry whose VALUES could in
+    # principle move, so the driver must re-verify it)
+    "text_decontaminate",
     # round-5 plan refactor (shared dedup_keyed helper; drain unchanged)
     "streaming_dedup_watermark",
     # round-5 NEW operators (never driver-sampled)

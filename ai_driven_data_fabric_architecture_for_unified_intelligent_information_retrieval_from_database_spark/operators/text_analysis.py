@@ -417,55 +417,83 @@ def text_pii_scrub(spark, t):
 
     Scale shape: map-only scan, zero shuffle — embarrassingly parallel at
     100 TB. The r04 "structured patterns parallelize fine" claim is now
-    MEASURED, not argued (tools/pii_microbench.py at sf10, 500 k docs):
-    the kernel scales 14x across 32 executor threads (round 3's char-class
-    anti-scaling failure mode is absent), but Java regex is ~7.5x slower
-    per core than DuckDB's RE2 on the same patterns (17.1 s vs 2.3 s
-    single-core). Hence the literal guards below: both patterns contain a
-    mandatory literal ('@', '+1-555-'), so each regex runs only on rows
-    whose text `contains` that literal — a JVM indexOf scan at memory
-    bandwidth — which cuts the kernel 2.5x (17.2 -> 6.9 s single-core,
-    1.23 -> 0.75 s on 32 threads) with byte-identical output (a regex on
-    a row without its literal cannot match or rewrite anything).
+    MEASURED, not argued (tools/pii_microbench.py at sf10, 500 k docs, the
+    tool imports the expression builders below so it times THIS kernel):
+    the kernel scales 12-15x across 32 executor threads (round 3's
+    char-class anti-scaling failure mode is absent), but Java regex is
+    ~7.5x slower per core than DuckDB's RE2 on the same patterns (18.0 s
+    vs 2.3 s single-core). Hence the literal guards in
+    :func:`pii_scrub_exprs`: both patterns contain a mandatory literal
+    ('@', '+1-555-'), so each regex runs only on rows whose text
+    ``contains`` that literal — a JVM indexOf scan at memory bandwidth —
+    which cuts the kernel 2.4x (18.0 -> 7.4 s single-core, 1.16 ->
+    0.64 s on 32 threads; tools/pii_microbench.py JSON) with identical
+    output (a regex on a row without its literal cannot match or rewrite
+    anything, and NULL text propagates NULL through guard and regex
+    alike).
     """
     d = t["documents"]
-    injected = F.concat(
-        F.col("text"),
+    n_emails, n_phones, scrubbed = pii_scrub_exprs(F.col("t2"))
+    return d.select("doc_id", pii_injected_text().alias("t2")).select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+def pii_injected_text(doc_id="doc_id", text="text"):
+    """The deterministic PII-injection expression shared by the operator
+    and tools/pii_microbench.py (the microbench must time the operator's
+    exact kernel, so the expression tree lives in one place)."""
+    return F.concat(
+        F.col(text),
         F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            F.col(doc_id) % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col(doc_id), F.lit("@example.com")),
         ).otherwise(""),
         F.when(
-            F.col("doc_id") % 5 == 0,
+            F.col(doc_id) % 5 == 0,
             F.concat(
                 F.lit(" call +1-555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lpad((F.col(doc_id) % 10000).cast("string"), 4, "0"),
             ),
         ).otherwise(""),
     )
-    has_at = F.col("t2").contains("@")
-    has_ph = F.col("t2").contains("+1-555-")
-    n_emails = F.when(
-        has_at, F.regexp_count("t2", F.lit(PII_EMAIL_RE))
-    ).otherwise(F.lit(0))
-    n_phones = F.when(
-        has_ph, F.regexp_count("t2", F.lit(PII_PHONE_RE))
-    ).otherwise(F.lit(0))
+
+
+def pii_scrub_exprs(t2, guarded: bool = True):
+    """(n_emails, n_phones, scrubbed) for a text column ``t2``.
+
+    ``guarded=True`` is the production form: each regex gated on its
+    mandatory literal. NULL text yields NULL counts (matching the
+    oracle's ``LEN(REGEXP_EXTRACT_ALL(NULL, ...))``) — the guard's
+    ``otherwise`` branch multiplies ``length(t2)`` by zero instead of
+    emitting a bare 0, so NULL propagates identically to the unguarded
+    regex path. ``guarded=False`` is the microbench's A/B reference."""
+    zero_or_null = (F.length(t2) * 0).cast("int")
+    if not guarded:
+        n_emails = F.regexp_count(t2, F.lit(PII_EMAIL_RE))
+        n_phones = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+        scrubbed = F.regexp_replace(
+            F.regexp_replace(t2, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+        )
+        return n_emails, n_phones, scrubbed
+    has_at = t2.contains("@")
+    has_ph = t2.contains("+1-555-")
+    n_emails = F.when(has_at, F.regexp_count(t2, F.lit(PII_EMAIL_RE))).otherwise(
+        zero_or_null
+    )
+    n_phones = F.when(has_ph, F.regexp_count(t2, F.lit(PII_PHONE_RE))).otherwise(
+        zero_or_null
+    )
     emails_scrubbed = F.when(
-        has_at, F.regexp_replace(F.col("t2"), PII_EMAIL_RE, "[EMAIL]")
-    ).otherwise(F.col("t2"))
+        has_at, F.regexp_replace(t2, PII_EMAIL_RE, "[EMAIL]")
+    ).otherwise(t2)
     scrubbed = F.when(
         has_ph, F.regexp_replace(emails_scrubbed, PII_PHONE_RE, "[PHONE]")
     ).otherwise(emails_scrubbed)
-    return (
-        d.select("doc_id", injected.alias("t2"))
-        .select(
-            "doc_id",
-            n_emails.cast("long").alias("n_emails"),
-            n_phones.cast("long").alias("n_phones"),
-            F.md5(scrubbed).alias("scrubbed_fp"),
-        )
-    )
+    return n_emails, n_phones, scrubbed
 
 
 @query(

@@ -8,10 +8,12 @@ normalizes with translate). text_pii_scrub reintroduced regexp_replace
 on full documents with STRUCTURED patterns (email/phone: literal-anchored,
 bounded repetition) on the argument that those fail fast per position.
 This microbench settles the claim with numbers: the operator's exact
-kernel (inject + 2x regexp_count + 2x regexp_replace + md5) over the sf
-documents table, single-task vs all-core (split-size trick, same as
-scan_microbench.py), plus the DuckDB oracle kernel at threads=1/N for
-the cross-engine view. Healthy scaling ~= cores/2 or better; round 3's
+kernel (inject + 2x regexp_count + 2x regexp_replace + md5, imported
+from the operator module so it cannot drift) over the sf documents
+table, single-task (coalesce(1) — split-size confs cannot produce a
+true single-core run; see the round-5 BASELINE.md correction) vs
+all-core, plus the DuckDB oracle kernel at threads=1/N for the
+cross-engine view. Healthy scaling ~= cores/2 or better; round 3's
 anti-scaling failure mode shows up as a speedup near or below 1.
 
 Usage: python tools/pii_microbench.py [sf_dir]   (default sf0.1)
@@ -111,47 +113,17 @@ def main() -> None:
         d = spark.read.parquet(path)
         if single_task:
             d = d.coalesce(1)
-        injected = F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(
-                    F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")
-                ),
-            ).otherwise(""),
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat(
-                    F.lit(" call +1-555-"),
-                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                ),
-            ).otherwise(""),
+        # Injection + guard/regex expressions IMPORTED from the operator
+        # module — the tool times text_pii_scrub's exact kernel by
+        # construction, so an operator edit can never leave this
+        # microbench silently measuring a stale copy.
+        from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.text_analysis import (  # noqa: E501
+            pii_injected_text,
+            pii_scrub_exprs,
         )
-        if guarded:
-            # the operator's production form: each regex gated on its
-            # mandatory literal (indexOf scan), semantics-identical
-            has_at = F.col("t2").contains("@")
-            has_ph = F.col("t2").contains("+1-555-")
-            ne = F.when(has_at, F.regexp_count("t2", F.lit(PII_EMAIL_RE))).otherwise(
-                F.lit(0)
-            )
-            np_ = F.when(has_ph, F.regexp_count("t2", F.lit(PII_PHONE_RE))).otherwise(
-                F.lit(0)
-            )
-            s1 = F.when(
-                has_at, F.regexp_replace(F.col("t2"), PII_EMAIL_RE, "[EMAIL]")
-            ).otherwise(F.col("t2"))
-            scrubbed = F.when(
-                has_ph, F.regexp_replace(s1, PII_PHONE_RE, "[PHONE]")
-            ).otherwise(s1)
-        else:
-            ne = F.regexp_count("t2", F.lit(PII_EMAIL_RE))
-            np_ = F.regexp_count("t2", F.lit(PII_PHONE_RE))
-            scrubbed = F.regexp_replace(
-                F.regexp_replace(F.col("t2"), PII_EMAIL_RE, "[EMAIL]"),
-                PII_PHONE_RE,
-                "[PHONE]",
-            )
+
+        injected = pii_injected_text()
+        ne, np_, scrubbed = pii_scrub_exprs(F.col("t2"), guarded=guarded)
         return (
             d.select("doc_id", injected.alias("t2"))
             .select(
