@@ -555,6 +555,17 @@ def _fits_broadcast(spark, df) -> bool:
 #: paying the probe.
 _PROBE_SLACK = 8
 
+#: Row cap on counted broadcast decisions. Fitting under the BYTE
+#: threshold is not sufficient: the driver builds the broadcast hash
+#: relation single-threaded at a few million rows per second, so past
+#: ~1.5 M build rows the build wall-time exceeds the exchange it avoids
+#: even when the bytes fit — measured on Q22's urgent-custkey anti build
+#: side at sf10 (3 M keys, 24 MB: broadcast form 1.40 s vs shuffle form
+#: 0.93 s min-of-3 idle), while the ~0.9 M-row Q3/Q5 slices stay
+#: comfortably on the winning side of the cap (their broadcast forms
+#: measured faster in r04/r05 isolation runs).
+_BCAST_BUILD_ROW_CAP = 1_500_000
+
 
 def _fits_broadcast_counted(spark, df) -> bool:
     """Broadcast-fitness check with a runtime-statistics fallback.
@@ -584,10 +595,6 @@ def _fits_broadcast_counted(spark, df) -> bool:
     if thr <= 0:
         return False
     est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    if est <= thr:
-        return True
-    if est > _PROBE_SLACK * thr:
-        return False
     # Catalyst's per-type defaultSize, mirrored (PySpark type objects do
     # not expose it): fixed-width primitives by width, strings at the
     # 20-byte planning default.
@@ -599,7 +606,17 @@ def _fits_broadcast_counted(spark, df) -> bool:
     row_bytes = max(
         8, sum(widths.get(f.dataType.typeName(), 32) for f in df.schema.fields)
     )
-    return df.count() * row_bytes <= thr
+    if est <= thr and est // row_bytes <= _BCAST_BUILD_ROW_CAP:
+        # Bytes fit AND the bytes-implied row count clears the build cap;
+        # narrow key relations (e.g. Q22's single-long urgent-custkey
+        # column: 47 MB estimated, 3 M actual rows) fall through to the
+        # counted path instead — byte-fitness alone hid a driver hash
+        # build slower than the exchange it avoided.
+        return True
+    if est > _PROBE_SLACK * thr:
+        return False
+    n = df.count()
+    return n <= _BCAST_BUILD_ROW_CAP and n * row_bytes <= thr
 
 
 @query(

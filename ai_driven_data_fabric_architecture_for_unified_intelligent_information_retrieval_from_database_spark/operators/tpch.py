@@ -281,7 +281,10 @@ def _q5_orders_slice_fits(spark, o_win, oc) -> bool:
     n_regions = 5  # the corpus's region count; the ASIA cut keeps ~1/5
     if est > _PROBE_SLACK * n_regions * thr:
         return False
-    return oc.count() * 16 <= thr  # two long columns
+    from .relational import _BCAST_BUILD_ROW_CAP
+
+    n = oc.count()
+    return n <= _BCAST_BUILD_ROW_CAP and n * 16 <= thr  # two long columns
 
 
 @query(

@@ -603,7 +603,13 @@ def tpch_q22(spark, t):
     left-anti join on the filtered orders key set — broadcast while the
     urgent custkey column passes :func:`_fits_broadcast_counted` (the anti
     build side tolerates duplicate keys, so no pre-distinct shuffle),
-    shuffled past it.
+    shuffled past it. Round 5: the gate gained a build-ROW cap because
+    this query exposed byte-fitness as insufficient — at sf10 the 3 M
+    urgent keys fit in 24 MB but the driver's single-threaded hash build
+    made the broadcast form 1.40 s vs 0.89 s with a shuffled-hash anti
+    (hint-pinned so AQE cannot convert it back); the cap flips this query
+    to the shuffle form at that scale while sf0.1 (30 k keys) keeps the
+    broadcast (0.30 s vs 0.39 s).
     """
     c, n = t["customer"], t["nation"]
     o = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
@@ -616,6 +622,15 @@ def tpch_q22(spark, t):
     okeys = o.select("o_custkey")
     if _fits_broadcast_counted(spark, okeys):
         okeys = F.broadcast(okeys)
+    else:
+        # Pin the gate's decision: without the hint AQE sees the <64 MB
+        # shuffle stats and converts the anti back to broadcast at
+        # runtime — paying the shuffle write AND the multi-million-row
+        # driver hash build the row cap exists to avoid (measured sf10:
+        # 1.51 s converted vs 0.89 s pinned). shuffle_hash, not
+        # shuffle_merge: the anti probe needs no sort on either side,
+        # and the per-partition build is ~94 k keys (0.89 vs 1.15 s).
+        okeys = okeys.hint("shuffle_hash")
     return (
         c.join(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("ab"))
