@@ -460,3 +460,58 @@ def events_user_outliers(spark, t):
             F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_outlier"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        trans AS (
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        outs AS (SELECT from_type, SUM(n) AS n_out FROM trans GROUP BY 1)
+        SELECT t.from_type, t.to_type, t.n,
+               CAST(t.n AS DOUBLE) / o.n_out AS prob
+        FROM trans t JOIN outs o ON t.from_type = o.from_type
+    """,
+    covers="expansion 2.5/2.8: first-order Markov transition matrix "
+    "(behavioral model fit: per-user event sequences -> row-normalized "
+    "transition probabilities)",
+)
+def events_markov_transitions(spark, t):
+    """First-order Markov chain over per-user event sequences: transition
+    counts and row-normalized probabilities — the behavioral model behind
+    next-action prediction and anomaly scoring (a transition with
+    near-zero learned probability is the anomaly).
+
+    The probability is one IEEE division of two exact counts, so both
+    engines emit identical doubles. One user_id shuffle feeds the lag
+    window; the transition rollup's key space is |event_types|^2 (25
+    cells here), so the final aggregation and the row-normalizing join
+    are dimension-sized however large the event log is."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    )
+    trans = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    outs = trans.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    return trans.join(F.broadcast(outs), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_out")).alias("prob"),
+    )

@@ -75,6 +75,10 @@ SAMPLE_PRIORITY: list[str] = [
     "window_range_interval_trailing",
     "cdc_merge_apply",
     "cdc_scd2_intervals",
+    "graph_pagerank_parts",
+    "basket_lift_rules",
+    "events_markov_transitions",
+    "window_yoy_growth",
 ]
 
 
@@ -159,6 +163,7 @@ def _ensure_loaded() -> None:
     from . import similarity  # noqa: F401
     from . import events  # noqa: F401
     from . import changes  # noqa: F401
+    from . import graph  # noqa: F401
     from . import temporal  # noqa: F401
     from . import text_analysis  # noqa: F401
     from . import scale  # noqa: F401

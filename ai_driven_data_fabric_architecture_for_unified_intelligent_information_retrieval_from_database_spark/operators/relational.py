@@ -1504,3 +1504,50 @@ def window_range_interval_trailing(spark, t):
         ).alias("trail7_avg"),
         F.count("*").over(w).cast("long").alias("n_days_in_window"),
     )
+
+
+@query(
+    "window_yoy_growth",
+    oracle="""
+        WITH yearly AS (
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+                   SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT))
+                       AS rev_micro
+            FROM orders GROUP BY 1
+        )
+        SELECT year,
+               rev_micro / 1000000.0 AS revenue,
+               LAG(rev_micro) OVER (ORDER BY year) / 1000000.0
+                   AS prev_revenue,
+               CAST(rev_micro - LAG(rev_micro) OVER (ORDER BY year)
+                    AS DOUBLE)
+                 / LAG(rev_micro) OVER (ORDER BY year) AS yoy_growth
+        FROM yearly
+    """,
+    covers="2.5 expansion (year-over-year growth: lag over a post-"
+    "aggregation time series — the reporting delta pattern)",
+)
+def window_yoy_growth(spark, t):
+    """Yearly revenue with year-over-year growth rate — the standard
+    reporting delta. The growth rate divides two exact micro-unit longs
+    (one IEEE division — bit-identical across engines); the first year's
+    rate is NULL by lag semantics on both. Like
+    window_range_interval_trailing, the unpartitioned window runs over
+    the POST-aggregation series (one row per year — bounded by the date
+    domain, not the corpus), so the single-reducer window is constant-
+    size at any scale."""
+    from pyspark.sql import Window
+
+    yearly = (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .agg(F.sum(micro_units("o_totalprice")).alias("rev_micro"))
+    )
+    w = Window.orderBy("year")
+    prev = F.lag("rev_micro").over(w)
+    return yearly.select(
+        "year",
+        (F.col("rev_micro") / 1_000_000.0).alias("revenue"),
+        (prev / 1_000_000.0).alias("prev_revenue"),
+        ((F.col("rev_micro") - prev).cast("double") / prev).alias("yoy_growth"),
+    )

@@ -762,3 +762,78 @@ def basket_part_pairs(spark, t):
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "basket_lift_rules",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        sup AS (SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY l_partkey),
+        total AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT p.part_a, p.part_b, p.n_ab,
+               CAST(p.n_ab AS DOUBLE) / sa.n AS confidence_a_to_b,
+               CAST(p.n_ab * t.n_orders AS DOUBLE) / (sa.n * sb.n) AS lift
+        FROM pairs p
+        JOIN sup sa ON p.part_a = sa.l_partkey
+        JOIN sup sb ON p.part_b = sb.l_partkey
+        CROSS JOIN total t
+        WHERE p.n_ab >= 2
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT 20
+    """,
+    covers="pipeline: association-rule mining (confidence + lift over the "
+    "co-order pairs — the scoring half of A-Priori at k=2)",
+)
+def basket_lift_rules(spark, t):
+    """Top-20 association rules by lift (support floor 2): completes
+    basket_part_pairs into actual rules — confidence P(b|a) and lift
+    P(ab)/(P(a)P(b)), the measures a recommender thresholds on.
+
+    Exactness: confidence and lift are single IEEE divisions of exact
+    integer products (n_ab * n_orders <= ~1e10 and sup_a * sup_b <=
+    ~2.3e12, both far under 2^53, so the doubles are exact before the one
+    division — bit-identical across engines). Scale shape: the pair
+    expansion is the bounded per-order join (<= 21 pairs/order); the
+    per-part support dimension broadcasts into the pair relation; the
+    order total arrives as a broadcast scalar; top-20 is
+    TakeOrderedAndProject."""
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    sup = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    total = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("na")).alias("confidence_a_to_b"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
