@@ -646,16 +646,23 @@ def join_star_flagship(spark, t):
       so nothing big ever shuffles. Forcing a pre-aggregation here would
       ADD a full lineitem exchange where none exists (measured 2.4 s vs
       5.3 s at sf1).
-    - **orders too big** (sf10+, and any real cluster): the revenue
-      aggregation is pushed BELOW every join, staged along the key
-      hierarchy — lineitem rolls up to one (micro-unit sum, count) row
-      per orderkey before meeting orders, and re-aggregates to one row
-      per custkey before meeting customer — so each exchange carries
-      rollup-grain rows, never lineitem-grain. Micro-unit long partials
-      re-aggregate exactly (associative); one double conversion at the
-      end is bit-identical to a direct stable_sum.
+    - **orders too big, customer still broadcastable** (sf10-class; the
+      round-5 middle form): lineitem rolls up per orderkey — the rollup's
+      hash(l_orderkey) exchange is REUSED by the orders join — then
+      customer/nation/region all arrive by broadcast and the order-grain
+      relation collapses straight to the 25 (region, segment) groups
+      map-side. Exactly one fact-grain-ish exchange in the whole plan;
+      measured at sf10: 3.48 -> 2.74 s over the staged form below.
+    - **customer too big too** (the 100 TB shape): the revenue
+      aggregation is staged along the key hierarchy — per-orderkey
+      rollup, re-aggregated per custkey before the shuffle join with
+      customer — so each exchange carries rollup-grain rows, never
+      lineitem-grain. Micro-unit long partials re-aggregate exactly
+      (associative); one double conversion at the end is bit-identical
+      to a direct stable_sum.
 
-    Nation and region are broadcast in both (O(10^2) rows at any scale).
+    Nation and region are broadcast in all forms (O(10^2) rows at any
+    scale).
     """
     l, o, c = t["lineitem"], t["orders"], t["customer"]
     n, r = t["nation"], t["region"]
@@ -679,6 +686,22 @@ def join_star_flagship(spark, t):
         ).alias("rev_micro"),
         F.count("*").alias("n_items"),
     )
+    cs = c.select("c_custkey", "c_mktsegment", "c_nationkey")
+    if _fits_broadcast_counted(spark, cs):
+        return (
+            per_order.join(
+                o.select("o_orderkey", "o_custkey"),
+                per_order.l_orderkey == F.col("o_orderkey"),
+            )
+            .join(F.broadcast(cs), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "c_mktsegment")
+            .agg(
+                (F.sum("rev_micro") / F.lit(1e6)).alias("revenue"),
+                F.sum("n_items").alias("n_items"),
+            )
+        )
     per_cust = (
         per_order.join(
             o.select("o_orderkey", "o_custkey"),

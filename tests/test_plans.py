@@ -378,6 +378,38 @@ def test_join_star_adapts_to_broadcast_threshold(spark):
     try:
         plan_big = plan_of(spark, "join_star_flagship")
         assert "rev_micro" in plan_big, "expected staged rollup form"
+        # threshold off fails the customer gate too -> the full staged
+        # form re-aggregates per custkey before the shuffle join
+        assert "o_custkey]" in plan_big or "o_custkey#" in plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # Middle form (round 5): orders too big, customer still broadcastable
+    # -> per-orderkey rollup + all-broadcast dims, NO custkey re-aggregate.
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_views,
+    )
+
+    t = register_views(spark, SF_ORACLE)
+    def est(df):
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+
+    cs_est = est(t["customer"].select("c_custkey", "c_mktsegment", "c_nationkey"))
+    o_est = est(t["orders"].select("o_orderkey", "o_custkey"))
+    assert cs_est < o_est, "corpus shape assumption broken"
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str((cs_est + o_est) // 2)
+    )
+    try:
+        plan_mid = plan_of(spark, "join_star_flagship")
+        assert "rev_micro" in plan_mid, "expected per-order rollup"
+        import re
+
+        assert not re.search(r"HashAggregate\(keys=\[o_custkey", plan_mid), (
+            "middle form must not re-aggregate per custkey"
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
