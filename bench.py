@@ -64,6 +64,13 @@ HEADLINE = [
     "sampling_pack_shards",
     "events_funnel_conversion",
     "bucketed_join_revenue",
+    # round-5 additions with real data volume (the domain-bounded round-5
+    # entries — yoy/range-frame/markov/temperature/lift — aggregate to
+    # date- or dimension-sized outputs and add only floor to a suite):
+    "graph_pagerank_parts",
+    "text_tfidf_top_terms",
+    "text_repetition_stats",
+    "cdc_merge_apply",
 ]
 
 
