@@ -18,32 +18,53 @@ from .registry import query
 #: Fixed damping (85/100) and rank scale (1e12 micro-units) — integers only.
 _SCALE = 1_000_000_000_000
 _ITERS = 3
+#: Minimum co-purchase support for an edge — the A-Priori pruning. Without
+#: it the edge set is every pair that EVER co-occurred (~1.2 M at sf0.1,
+#: ~31 M pair rows at sf10) and the three unrolled iterations grind both
+#: engines (Spark 4.7 s at sf0.1, DuckDB 43 s at sf1); the support-2
+#: graph is the strong-association subgraph (2-4 k edges at every test
+#: SF — the corpus's planted co-purchases), which is also the graph a
+#: recommender would actually walk.
+_MIN_SUPPORT = 2
 
 
 def _pagerank_oracle() -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # and the unrolled iteration references each rank relation twice (the
+    # contribution join and the carry-through), so inlining expands the
+    # tree EXPONENTIALLY in the iteration count - measured >570 s at sf1
+    # vs 43 s materialized. (Spark needs no hint: the DataFrame DAG
+    # shares subtrees by construction.)
     base = f"""
-        pairs AS (
-            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        co AS MATERIALIZED (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n
             FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
             JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_MIN_SUPPORT}
         ),
-        deg AS (SELECT src, COUNT(*) AS d FROM pairs GROUP BY src),
-        n AS (SELECT COUNT(*) AS c FROM deg),
-        r0 AS (SELECT deg.src AS node, {_SCALE} // n.c AS r
+        pairs AS MATERIALIZED (
+            SELECT src, dst FROM co
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM co
+        ),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM pairs GROUP BY src),
+        n AS MATERIALIZED (SELECT COUNT(*) AS c FROM deg),
+        r0 AS MATERIALIZED (SELECT deg.src AS node, {_SCALE} // n.c AS r
                FROM deg CROSS JOIN n)
     """
     prev = "r0"
     for i in range(1, _ITERS + 1):
         base += f""",
-        s{i} AS (
+        s{i} AS MATERIALIZED (
             SELECT p.dst AS node, SUM({prev}.r // deg.d) AS s
             FROM pairs p
             JOIN {prev} ON p.src = {prev}.node
             JOIN deg ON deg.src = p.src
             GROUP BY p.dst
         ),
-        r{i} AS (
+        r{i} AS MATERIALIZED (
             SELECT {prev}.node,
                    {_SCALE * 15} // (100 * n.c)
                      + (85 * COALESCE(s{i}.s, 0)) // 100 AS r
@@ -85,18 +106,43 @@ def graph_pagerank_parts(spark, t):
     compare is exact — the float-PageRank alternative diverges across
     engines on summation order alone. Scale shape: the edge expansion is
     the bounded-per-order pair join (<= 7 items/order — never
-    corpus-quadratic); each iteration is one join + one (node, sum)
-    rollup, all keyed on part ids; degree and rank relations are
-    part-dictionary-sized, far below fact scale."""
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+    corpus-quadratic) rolled up with map-side combine and pruned at
+    support >= {_MIN_SUPPORT} (see the constant's note) BEFORE any
+    iteration; each iteration is then one join + one (node, sum) rollup
+    over the strong-association subgraph, all keyed on part ids — far
+    below fact scale."""
+    # Per-order baskets via collect_set, pairs generated as a per-row
+    # array combination — ONE exchange (order grain) plus the pair-count
+    # rollup, where the self-join form pays four (distinct, two re-keys,
+    # rollup). The HOF lambdas run interpreted but over <= 7-item baskets
+    # (bounded, never corpus-quadratic); measured equal-output and faster
+    # at sf0.1 (1.08 vs 1.29 s) and sf10 (11.3 s) for the pair build.
+    baskets = t["lineitem"].groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
     )
+    pair_structs = F.expr(
+        "flatten(transform(parts, x -> "
+        "transform(filter(parts, y -> y > x), y -> struct(x AS src, y AS dst))))"
+    )
+    co = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= _MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    # Eager localCheckpoint (the dedup_components idiom): the unrolled DAG
+    # references the edge relation 4+ times, and without a lineage cut the
+    # fact-scale pair rollup above re-executes per reference (measured
+    # 3.0 s at sf0.1 / 33 s at sf10 uncut vs the rollup's own one-pass
+    # cost after the cut). The checkpointed relation is the PRUNED edge
+    # list — a few thousand rows at any SF — so this materializes almost
+    # nothing. bench.py times this entry from construction, where the
+    # checkpoint executes.
+    pairs = co.unionAll(
+        co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     deg = pairs.groupBy("src").agg(F.count("*").alias("d"))
     n = deg.agg(F.count("*").alias("c"))
     rank = (

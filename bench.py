@@ -315,7 +315,10 @@ def main() -> None:
             # probes (one COUNT job at plan-choice time) and
             # bucketed_join_revenue's once-per-corpus bucketed write run
             # untimed at construction.
-            timed_construction = name in {"dedup_components"}
+            timed_construction = name in {
+                "dedup_components",
+                "graph_pagerank_parts",  # eager edge-list localCheckpoint
+            }
             start = time.perf_counter()
             df = qs[name](spark, sf_dir)
             if not timed_construction:
