@@ -60,6 +60,8 @@ SAMPLE_PRIORITY: list[str] = [
     # pipeline; q5 pre-aggregation; any cells touched by the perf work)
     "dedup_minhash_lsh",
     "tpch_q5_local_supplier_volume",
+    "tpch_q22_global_sales_opportunity",  # row-capped gate + pinned shuffle anti
+    "join_star_flagship",  # new middle form (broadcast-customer rollup)
     "bucketed_join_revenue",
     "text_pii_scrub",
     # round-5 rewrite: shingles hashed from word tuples (output identical
