@@ -426,8 +426,9 @@ def text_pii_scrub(spark, t):
     :func:`pii_scrub_exprs`: both patterns contain a mandatory literal
     ('@', '+1-555-'), so each regex runs only on rows whose text
     ``contains`` that literal — a JVM indexOf scan at memory bandwidth —
-    which cuts the kernel 2.4x (18.0 -> 7.4 s single-core, 1.16 ->
-    0.64 s on 32 threads; tools/pii_microbench.py JSON) with identical
+    which cuts the kernel 2.1-2.4x (18.0-19.0 -> 7.4-8.8 s single-core,
+    1.16-1.23 -> 0.64-0.71 s on 32 threads across idle passes;
+    tools/pii_microbench.py JSON) with identical
     output (a regex on a row without its literal cannot match or rewrite
     anything, and NULL text propagates NULL through guard and regex
     alike).
