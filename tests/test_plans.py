@@ -452,3 +452,29 @@ def test_bucketed_join_pays_no_join_exchange(spark):
     assert below_join and not any("Exchange" in n for n in below_join), tree
     assert sum("Exchange" in l for l in tree) == 1, tree
     assert plan.count("SelectedBucketsCount: 16 out of 16") == 2, plan[:3000]
+
+
+def test_broadcast_gate_row_cap(spark):
+    """Round-5 gate hardening: byte-fitness alone must not approve a
+    broadcast whose BUILD ROWS exceed the cap (the driver constructs the
+    hash relation single-threaded — Q22's 3M-key/24MB anti build side was
+    1.6x slower broadcast than shuffled). A 2M-row single-long relation
+    fits every byte threshold here but must be rejected on rows; a small
+    relation passes."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.relational import (
+        _BCAST_BUILD_ROW_CAP,
+        _fits_broadcast_counted,
+    )
+
+    big = spark.range(_BCAST_BUILD_ROW_CAP + 500_000)  # 16 MB of longs
+    small = spark.range(1_000)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    for thr in ("10485760", str(64 * 1024 * 1024)):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        try:
+            assert not _fits_broadcast_counted(spark, big), (
+                f"2M-row build approved at thr={thr}"
+            )
+            assert _fits_broadcast_counted(spark, small)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
