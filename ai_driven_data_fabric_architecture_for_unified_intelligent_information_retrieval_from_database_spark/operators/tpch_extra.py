@@ -61,7 +61,15 @@ def tpch_q4(spark, t):
       into the pruned lineitem scan with the non-equi lag predicate in the
       join condition, then collapse survivors per orderkey — the only
       exchanges carry qualifying-order-grain rows. Measured 2.61 s ->
-      1.78 s at sf10.
+      1.78 s at sf10. Round-7 squeeze audit (tools/q4_ab.py, sf10
+      min-of-3 same-session): this form 1.44 s vs the r05-suggested
+      per-orderkey MAX(l_shipdate) pre-aggregation 2.03 s (the rollup
+      hashes ~12 M near-unique orderkeys to collapse ~4 rows each),
+      countDistinct single-phase 1.46 s, semi-join-on-orders 2.56 s —
+      all four collect identical rows; this form stands. The residual
+      gap to DuckDB (0.29 s) is the single-threaded broadcast hash
+      build of the ~1.5 M-order window plus the scan floor, not plan
+      shape.
     - **Rollup form** (past the threshold, the 100 TB shape): evaluate the
       EXISTS against a per-orderkey MAX(l_shipdate) rollup —
       ``EXISTS(l_shipdate > bound)`` is exactly ``MAX(l_shipdate) >
