@@ -88,6 +88,153 @@ def cdc_merge_apply(spark, t):
         F.col("o_totalprice").alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
+    merged = _merge_batch(snapshot, _changes_batch1(o))
+    return merged.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        stable_sum("price").alias("total_price"),
+    )
+
+
+#: Second synthetic change batch for the incremental target: exercises
+#: update-then-delete (keys updated in batch 1, deleted here), fresh
+#: updates, and insert-then-update (half of batch 1's inserted keys).
+_CHANGES2_SQL = """
+        changes2 AS (
+            SELECT o_orderkey AS key, 'U' AS op,
+                   o_totalprice + 50.0 AS price, 'V' AS status
+            FROM orders WHERE o_orderkey % 10 = 5
+            UNION ALL
+            SELECT o_orderkey AS key, 'D' AS op,
+                   CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status
+            FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT o_orderkey + 1000000000 AS key, 'U' AS op,
+                   o_totalprice * 2 AS price, 'M' AS status
+            FROM orders WHERE o_orderkey % 20 = 1
+        )
+"""
+
+
+@query(
+    "cdc_merge_incremental",
+    oracle=f"""
+        WITH snapshot AS (
+            SELECT o_orderkey AS key, o_totalprice AS price,
+                   o_orderstatus AS status
+            FROM orders
+        ),
+        {_CHANGES_SQL},
+        merged1 AS (
+            SELECT COALESCE(c.key, s.key) AS key,
+                   CASE WHEN c.op IN ('U', 'I') THEN c.price
+                        ELSE s.price END AS price,
+                   CASE WHEN c.op IN ('U', 'I') THEN c.status
+                        ELSE s.status END AS status
+            FROM snapshot s FULL OUTER JOIN changes c ON s.key = c.key
+            WHERE c.op IS NULL OR c.op <> 'D'
+        ),
+        {_CHANGES2_SQL},
+        merged2 AS (
+            SELECT COALESCE(c.key, s.key) AS key,
+                   CASE WHEN c.op IN ('U', 'I') THEN c.price
+                        ELSE s.price END AS price,
+                   CASE WHEN c.op IN ('U', 'I') THEN c.status
+                        ELSE s.status END AS status
+            FROM merged1 s FULL OUTER JOIN changes2 c ON s.key = c.key
+            WHERE c.op IS NULL OR c.op <> 'D'
+        )
+        SELECT status, COUNT(*) AS n_orders,
+               {sql_stable_sum('price')} AS total_price
+        FROM merged2 GROUP BY status
+    """,
+    covers="expansion: incremental CDC apply against a transactional "
+    "bucketed table target (sequential batches as amortized upserts — "
+    "the snapshot side never re-shuffles)",
+)
+def cdc_merge_incremental(spark, t):
+    """Two sequential CDC batches applied against a BUCKETED table target
+    — the amortized-upsert layout a lakehouse MERGE INTO converges to
+    (r05 brief task 6).
+
+    :func:`cdc_merge_apply` shows the single-pass merge; its 100 TB
+    deficit is that EVERY batch re-shuffles the whole snapshot, because
+    the merge output lands unpartitioned. Here the snapshot is persisted
+    once as a table bucketed on the merge key (16 buckets, sorted — the
+    bucketed_join_revenue machinery), and each batch's full-outer merge
+    reads it with ZERO exchange on the snapshot side: only the change
+    feed (small by definition) shuffles, into the bucket scheme. The
+    merge result is written straight back bucketed — its SMJ output is
+    already hash(key)-partitioned to the bucket count, so the write
+    splits no files — and the next batch repeats against the new
+    version. Batch cost becomes O(|delta| shuffle + snapshot rewrite),
+    never O(|snapshot| shuffle); with a partitioned table the rewrite
+    narrows further to touched partitions (the delta/iceberg file-
+    skipping point connectors.py documents).
+
+    The two batches pin every upsert composition: update-then-delete
+    (keys %10=3), insert-then-update (half of batch 1's inserts),
+    delete-then-nothing, plus fresh updates — the final per-status
+    rollup moves counts through every branch. Output equals replaying
+    both merges over the raw snapshot (the oracle does exactly that).
+    """
+    from .scale import _corpus_digest, _session_token, ensure_bucketed_table
+
+    o = t["orders"]
+    snapshot = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    batch1 = _changes_batch1(o)
+    batch2 = (
+        o.where(F.col("o_orderkey") % 10 == 5)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 50.0).alias("price"),
+            F.lit("V").alias("status"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 10 == 3).select(
+                F.col("o_orderkey").alias("key"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(None).cast("string").alias("status"),
+            )
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 20 == 1).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("key"),
+                F.lit("U").alias("op"),
+                (F.col("o_totalprice") * 2).alias("price"),
+                F.lit("M").alias("status"),
+            )
+        )
+    )
+
+    digest = _corpus_digest(o)
+    tok = _session_token()
+    base_tbl = f"cdc_base_{digest}_{tok}"
+    inc_tbl = f"cdc_inc_{digest}_{tok}"
+    # The base-table write is once per corpus per session (amortized
+    # layout cost, same contract as bucketed_join_revenue); each call
+    # then pays exactly the two incremental merges + the v1 rewrite.
+    ensure_bucketed_table(spark, base_tbl, snapshot, "key", digest)
+
+    v1 = _merge_batch(spark.table(base_tbl), batch1)
+    from ..sources.sinks import write_bucketed
+
+    write_bucketed(v1, inc_tbl, "key", n_buckets=16, sort_col="key")
+    v2 = _merge_batch(spark.table(inc_tbl), batch2)
+    return v2.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        stable_sum("price").alias("total_price"),
+    )
+
+
+def _changes_batch1(o):
+    """The :data:`_CHANGES_SQL` feed as a DataFrame (shared with
+    :func:`cdc_merge_apply`)."""
     upd = o.where(F.col("o_orderkey") % 10 == 3).select(
         F.col("o_orderkey").alias("key"),
         F.lit("U").alias("op"),
@@ -106,12 +253,18 @@ def cdc_merge_apply(spark, t):
         F.col("o_totalprice").alias("price"),
         F.lit("N").alias("status"),
     )
-    changes = upd.unionAll(dele).unionAll(ins)
+    return upd.unionAll(dele).unionAll(ins)
+
+
+def _merge_batch(snapshot, changes):
+    """One MERGE pass: upserts take the change's values, deletes drop,
+    unmatched snapshot rows carry over. Returns (key, price, status)."""
     s, c = snapshot.alias("s"), changes.alias("c")
-    merged = (
+    return (
         s.join(c, F.col("s.key") == F.col("c.key"), "full_outer")
         .where(F.col("c.op").isNull() | (F.col("c.op") != "D"))
         .select(
+            F.coalesce(F.col("c.key"), F.col("s.key")).alias("key"),
             F.when(F.col("c.op").isin("U", "I"), F.col("c.price"))
             .otherwise(F.col("s.price"))
             .alias("price"),
@@ -119,10 +272,6 @@ def cdc_merge_apply(spark, t):
             .otherwise(F.col("s.status"))
             .alias("status"),
         )
-    )
-    return merged.groupBy("status").agg(
-        F.count("*").alias("n_orders"),
-        stable_sum("price").alias("total_price"),
     )
 
 

@@ -350,6 +350,54 @@ def _corpus_digest(*dfs) -> str:
     return hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
 
 
+def ensure_bucketed_table(
+    spark, table: str, df, key: str, digest: str, n_buckets: int = 16
+) -> None:
+    """Write ``df`` as a bucketed managed table once per session, with the
+    collision/pruning discipline bucketed_join_revenue established:
+
+    The metastore is per-session but the warehouse directory is not.
+    Table names carry a per-PROCESS token (see :func:`_session_token`),
+    so no two live sessions can ever collide on a location — which
+    removes the unguarded same-name rmtree ADVICE r04 flagged (a
+    concurrent session's live table could be deleted mid-query). A
+    leftover location under OUR name means a dead previous process with
+    a recycled pid-token: cleared only then. Orphaned same-family tables
+    (old digests, exited sessions) are pruned age-guarded so repeated
+    cycles don't grow the warehouse.
+    """
+    import os
+    import shutil
+    import time
+    from urllib.parse import urlparse
+
+    from ..sources.sinks import write_bucketed
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    location = f"{warehouse}/{table.lower()}"
+    if spark.catalog.tableExists(table):
+        try:  # last-use stamp, shields it from other sessions' pruning
+            os.utime(location, None)
+        except OSError:
+            pass
+        return
+    if os.path.isdir(location):
+        shutil.rmtree(location)
+    prefix = table.split(digest)[0].lower()
+    if os.path.isdir(warehouse):
+        now = time.time()
+        for d in os.listdir(warehouse):
+            full = os.path.join(warehouse, d)
+            try:
+                old_enough = now - os.path.getmtime(full) > _PRUNE_MIN_AGE_S
+            except OSError:
+                continue
+            if d.startswith(prefix) and d != table.lower() and old_enough:
+                spark.sql(f"DROP TABLE IF EXISTS {d}")
+                shutil.rmtree(full, ignore_errors=True)
+    write_bucketed(df, table, key, n_buckets=n_buckets, sort_col=key)
+
+
 @query(
     "bucketed_join_revenue",
     oracle=f"""
@@ -387,53 +435,12 @@ def bucketed_join_revenue(spark, t):
     under a persistent metastore (the real deployment).
     """
     from ..functions.numerics import stable_sum
-    from ..sources.sinks import write_bucketed
-
-    import shutil
-    from urllib.parse import urlparse
 
     orders, cust = t["orders"], t["customer"]
     digest = _corpus_digest(orders, cust)
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
 
     def ensure(table, df, key):
-        # The metastore is per-session but the warehouse directory is not.
-        # Table names carry a per-PROCESS token (below), so no two live
-        # sessions can ever collide on a location — which removes the
-        # unguarded same-name rmtree ADVICE r04 flagged (a concurrent
-        # session's live table could be deleted mid-query). A leftover
-        # location under OUR name means a dead previous process with a
-        # recycled pid-token: clear it only then.
-        import os
-        import time
-
-        location = f"{warehouse}/{table.lower()}"
-        if spark.catalog.tableExists(table):
-            try:  # last-use stamp, shields it from other sessions' pruning
-                os.utime(location, None)
-            except OSError:
-                pass
-            return
-        if os.path.isdir(location):
-            shutil.rmtree(location)
-        # prune orphaned tables of the same family (regenerated corpora,
-        # exited sessions) so repeated cycles don't grow the warehouse;
-        # age-guarded like _cached_layout so a concurrent session's
-        # freshly written (or freshly touched) tables are never deleted
-        # under it.
-        prefix = table.split(digest)[0].lower()
-        if os.path.isdir(warehouse):
-            now = time.time()
-            for d in os.listdir(warehouse):
-                full = os.path.join(warehouse, d)
-                try:
-                    old_enough = now - os.path.getmtime(full) > _PRUNE_MIN_AGE_S
-                except OSError:
-                    continue
-                if d.startswith(prefix) and d != table.lower() and old_enough:
-                    spark.sql(f"DROP TABLE IF EXISTS {d}")
-                    shutil.rmtree(full, ignore_errors=True)
-        write_bucketed(df, table, key, n_buckets=16, sort_col=key)
+        ensure_bucketed_table(spark, table, df, key, digest)
 
     tok = _session_token()
     to, tc = f"bk_orders_{digest}_{tok}", f"bk_customer_{digest}_{tok}"

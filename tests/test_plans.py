@@ -478,3 +478,32 @@ def test_broadcast_gate_row_cap(spark):
             assert _fits_broadcast_counted(spark, small)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cdc_incremental_snapshot_side_no_exchange(spark):
+    """The incremental CDC merge must read its bucketed snapshot with ZERO
+    exchange on the snapshot side: the returned (second-batch) merge's
+    full-outer SortMergeJoin has one bucketed-scan child with no Exchange
+    between join and scan, while the small change feed is the only side
+    that shuffles — the amortized-upsert property the operator exists to
+    demonstrate."""
+    plan = plan_of(spark, "cdc_merge_incremental")
+    assert "SelectedBucketsCount: 16 out of 16" in plan, plan[:3000]
+    tree = plan.split("\n(1)", 1)[0].splitlines()
+    join_depth = None
+    subtree = []
+    for line in tree:
+        node = line.lstrip(" :+-")
+        depth = len(line) - len(node)
+        if "SortMergeJoin" in node and "FullOuter" in node:
+            join_depth = depth
+            continue
+        if join_depth is not None and depth > join_depth:
+            subtree.append(node)
+    assert join_depth is not None, plan[:3000]
+    # snapshot side = everything between the join and its bucketed scan
+    # (the explain tree prints the first child fully before the second)
+    scan_i = next(i for i, n in enumerate(subtree) if "Scan" in n and "cdc_inc" in n)
+    assert not any("Exchange" in n for n in subtree[:scan_i]), subtree
+    # and the change-feed side (after the scan) is where the one shuffle is
+    assert any("Exchange" in n for n in subtree[scan_i + 1:]), subtree
