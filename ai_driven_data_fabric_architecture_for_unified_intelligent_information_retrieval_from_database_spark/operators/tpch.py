@@ -281,9 +281,10 @@ def _q5_orders_slice_fits(spark, o_win, oc) -> bool:
     n_regions = 5  # the corpus's region count; the ASIA cut keeps ~1/5
     if est > _PROBE_SLACK * n_regions * thr:
         return False
-    from .relational import _BCAST_BUILD_ROW_CAP
+    from .relational import _BCAST_BUILD_ROW_CAP, _counted_probe
 
-    n = oc.count()
+    oc_plan = oc._jdf.queryExecution().optimizedPlan()
+    n = _counted_probe(oc, oc_plan, est)
     return n <= _BCAST_BUILD_ROW_CAP and n * 16 <= thr  # two long columns
 
 

@@ -71,11 +71,37 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_repetition_stats",
     "cdc_merge_apply",
+    # round-7 tail (r05/r06 brief task: bench the unbenched): CDC history
+    # + incremental target, association rules, Markov transitions, the
+    # window tail, temperature sampling, and two streaming drains (the
+    # real streaming engine, AvailableNow-drained at construction).
+    "cdc_scd2_intervals",
+    "cdc_merge_incremental",
+    "basket_lift_rules",
+    "events_markov_transitions",
+    "window_yoy_growth",
+    "window_range_interval_trailing",
+    "sampling_temperature_mix",
+    "streaming_dedup_watermark",
+    "streaming_tumbling_hourly",
 ]
+
+#: Cells whose construction DOES the work (eager checkpoints, bucketed
+#: writes, streaming drains) — their timed window starts before
+#: construction; everything else starts after (see the loop note).
+TIMED_CONSTRUCTION = {
+    "dedup_components",       # eager label-propagation checkpoints
+    "graph_pagerank_parts",   # eager edge-list checkpoint + iteration
+    "cdc_merge_incremental",  # two eager bucketed merge writes
+    "streaming_dedup_watermark",   # AvailableNow drain at construction
+    "streaming_tumbling_hourly",   # AvailableNow drain at construction
+}
 
 
 #: Files per re-chunked table — one scan task per file, every table.
-N_BENCH_FILES = 32
+#: Overridable for paired layout experiments (the rechunk output dir is
+#: keyed on the count, so switching never serves a stale layout).
+N_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "32"))
 
 
 def _rechunk(sf_dir: str) -> str:
@@ -103,8 +129,9 @@ def _rechunk(sf_dir: str) -> str:
     """
     import pyarrow.parquet as pq
 
+    suffix = "" if N_BENCH_FILES == 32 else f"_n{N_BENCH_FILES}"
     out_dir = os.path.join(
-        "/tmp", "bench_rechunk_" + sf_dir.strip("/").replace("/", "_")
+        "/tmp", "bench_rechunk_" + sf_dir.strip("/").replace("/", "_") + suffix
     )
     os.makedirs(out_dir, exist_ok=True)
     for fname in os.listdir(sf_dir):
@@ -295,46 +322,111 @@ def main() -> None:
         for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
         if s.strip()
     }
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    untimed_construction: dict[str, float] = {}
     for name in HEADLINE:
         if name in skip:
             continue
-        best = None
-        for i in range(3):
+        per_pass: list[float] = []
+        # Adaptive pass count, applied IDENTICALLY to the DuckDB
+        # reference below: 3 passes for compute-dominated cells, up to 6
+        # for sub-second ones — measured at sf0.1 a floor cell (q1) only
+        # reaches steady state on pass 5-6 (0.31 -> 0.19 s; JIT depth,
+        # not cache warmth), while DuckDB converges by pass 2. Stopping
+        # both engines at 3 recorded Spark's warmup against DuckDB's
+        # steady state.
+        for i in range(6):
+            if i >= 3 and min(per_pass) >= 1.0:
+                break
             # The timed window normally starts AFTER plan construction:
             # building a DataFrame costs ~1000 py4j round-trips (~0.2 s
             # measured for Q1) of CLIENT-side expression chatter that a
             # deployment pays once per query template, not per run —
             # charging it to every cell would benchmark the Python
-            # gateway, not the engine. Exceptions, timed in full because
-            # their construction does the actual WORK: dedup_components
-            # runs its localCheckpoint label-propagation rounds eagerly
-            # at construction (its cell used to record 0.013 s with the
-            # whole job untimed). Known residual asymmetries, accepted
-            # and documented in BASELINE.md: the q3/q5 counted broadcast
-            # probes (one COUNT job at plan-choice time) and
-            # bucketed_join_revenue's once-per-corpus bucketed write run
-            # untimed at construction.
-            timed_construction = name in {
-                "dedup_components",
-                "graph_pagerank_parts",  # eager edge-list localCheckpoint
-            }
-            start = time.perf_counter()
+            # gateway, not the engine. Exceptions (TIMED_CONSTRUCTION):
+            # cells whose construction does the actual WORK (eager
+            # checkpoints, bucketed merge writes, streaming drains) are
+            # timed in full. For everything else the EXCLUDED
+            # construction seconds are now reported per cell
+            # (untimed_construction_s, worst pass), so the residual
+            # asymmetries BASELINE.md documents — the q3/q5 counted
+            # broadcast probes, bucketed_join_revenue's once-per-corpus
+            # write — are visible in the artifact instead of a doc note.
+            c0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            if not timed_construction:
-                start = time.perf_counter()
+            start = (
+                c0 if name in TIMED_CONSTRUCTION else time.perf_counter()
+            )
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
+            per_pass.append(elapsed)
+            if name not in TIMED_CONSTRUCTION:
+                untimed_construction[name] = round(
+                    max(untimed_construction.get(name, 0.0), start - c0), 3
+                )
             # Budget break only AFTER a second pass: pass 1 carries
             # whole-stage-codegen and parquet-footer warmup (measured 17 s
             # vs 2.8 s steady on many-row-group files at sf10) — recording
             # it as the query's time would benchmark the JIT, not the plan.
             if elapsed > pass_budget and i >= 1:
                 break
-        timings[name] = round(best, 3)
+        timings[name] = round(min(per_pass), 3)
+        # Per-cell cross-pass spread: a clean pass shows max ~ min except
+        # for the pass-1 codegen warmup; a contaminated host (the
+        # BENCH_r06 finding) shows wide spreads on EVERY cell.
+        spread[name] = [round(min(per_pass), 3), round(max(per_pass), 3)]
+
+    # Same-process DuckDB reference pass (r06 task 3b): the oracle suite
+    # measured under the SAME host state, so a hot run is self-evident
+    # from the artifact (ratio_common) instead of requiring a separate
+    # leg under different conditions. SPARK_GRAFT_DUCKDB_REF=0 disables.
+    duck: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_DUCKDB_REF", "1") != "0":
+        import duckdb
+
+        from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.registry import (
+            oracle_sql,
+        )
+
+        con = duckdb.connect()
+        con.execute("SET timezone='UTC'")
+        for tname in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            p = os.path.join(sf_dir, f"{tname}.parquet")
+            if os.path.isdir(p):
+                con.execute(
+                    f"CREATE VIEW {tname} AS"
+                    f" SELECT * FROM read_parquet('{p}/*.parquet')"
+                )
+            elif os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {tname} AS"
+                    f" SELECT * FROM read_parquet('{p}')"
+                )
+        osql = oracle_sql()
+        for name in HEADLINE:
+            if name in skip or name not in osql:
+                continue
+            best = None
+            for i in range(6):  # same adaptive pass rule as the Spark loop
+                if i >= 3 and best >= 1.0:
+                    break
+                t0 = time.perf_counter()
+                con.execute(osql[name]).fetchall()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+                if el > pass_budget and i >= 1:
+                    break
+            duck[name] = round(best, 4)
 
     total = round(sum(timings.values()), 3)
+    common = [q for q in timings if q in duck]
+    duck_common = round(sum(duck[q] for q in common), 3) if common else None
+    spark_common = round(sum(timings[q] for q in common), 3) if common else None
     print(
         json.dumps(
             {
@@ -343,6 +435,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spread": spread,
+                "untimed_construction_s": untimed_construction,
+                "timed_construction": sorted(TIMED_CONSTRUCTION & set(timings)),
+                "duckdb_reference": {
+                    "queries": duck,
+                    "value_common": duck_common,
+                    "spark_value_common": spark_common,
+                    "ratio_common": (
+                        round(spark_common / duck_common, 2)
+                        if duck_common
+                        else None
+                    ),
+                },
+                "load_avg_start": [round(x, 2) for x in load_start],
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -81,7 +81,19 @@ def main() -> None:
                 "dedup_ngram_jaccard,dedup_minhash_lsh,dedup_components"
             )
         spark = run_json([sys.executable, "bench.py"], env=env)
-        duck = run_json([sys.executable, "tools/bench_duckdb.py", d], env=env)
+        # bench.py now embeds a same-process DuckDB reference pass
+        # (duckdb_reference), so both engines are measured under ONE host
+        # state — the r06 finding was a Spark leg and a DuckDB leg run
+        # under different contamination. The separate bench_duckdb.py
+        # remains for standalone use.
+        ref = spark.get("duckdb_reference") or {}
+        duck = {
+            "metric": "duckdb_oracle_suite_wall_clock",
+            "value": ref.get("value_common"),
+            "unit": "sec",
+            "queries": ref.get("queries", {}),
+            "sf": spark["sf"],
+        }
         results.append({"sf_dir": d, "spark": spark, "duckdb": duck})
         # Partial dump after every scale: a late-scale failure must not
         # discard the completed measurements (an sf10 oracle hang cost a
