@@ -46,41 +46,72 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: regardless).  Round-window history lives in README.md ("Correctness window
 #: rotation").
 #:
-#: Round 5 window, per the standing ADVICE r03 rule: entries whose BEHAVIOR
-#: changed this round go to the FRONT of the window the external harness
-#: samples, so the driver re-verifies exactly the code that moved. The
-#: union across r01-r04 already covers every registered entry; from here
-#: the window tracks churn, not coverage. Names not yet registered are
-#: skipped harmlessly.
+#: Round 7 window (r06 verdict task 7: the r06 window never rotated, so
+#: ~104 entries had not been driver-re-verified since r05 or earlier).
+#: Composition per the standing churn-first rule, then the
+#: longest-unverified tail:
+#: 1. everything round 7 TOUCHED — the repetition-stats per-row rewrite
+#:    (values could move only via in-doc 64-bit hash collisions, so the
+#:    driver must re-verify), the rebuilt PageRank (guarded pack, cloned
+#:    AQE-off session, vectorized support filter), the new incremental
+#:    CDC target plus the refactored cdc_merge_apply and
+#:    bucketed_join_revenue (shared ensure helper), and the
+#:    probe-cache-affected cost-chosen joins (q3/q5/q22/q4/join_star);
+#: 2. the 36 entries whose last driver check was r01/r02 (the oldest
+#:    tail: nl_* planner queries, scalar-function packs, similarity,
+#:    events/temporal, text head).
+#: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # round-5 fix: the one red r04 row — oracle's bare SUM(BIGINT) widened
-    # to HUGEINT in DuckDB; now CAST to BIGINT (see its docstring)
-    "sampling_pack_shards",
-    # round-5 behavior/plan changes (shingle-relation reuse in the LSH
-    # pipeline; q5 pre-aggregation; any cells touched by the perf work)
-    "dedup_minhash_lsh",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q22_global_sales_opportunity",  # row-capped gate + pinned shuffle anti
-    "join_star_flagship",  # new middle form (broadcast-customer rollup)
-    "bucketed_join_revenue",
-    "text_pii_scrub",
-    # round-5 rewrite: shingles hashed from word tuples (output identical
-    # up to 2^-64 collisions — the one entry whose VALUES could in
-    # principle move, so the driver must re-verify it)
-    "text_decontaminate",
-    # round-5 plan refactor (shared dedup_keyed helper; drain unchanged)
-    "streaming_dedup_watermark",
-    # round-5 NEW operators (never driver-sampled)
+    # --- round-7 churn ---
     "text_repetition_stats",
-    "text_tfidf_top_terms",
-    "sampling_temperature_mix",
-    "window_range_interval_trailing",
-    "cdc_merge_apply",
-    "cdc_scd2_intervals",
     "graph_pagerank_parts",
-    "basket_lift_rules",
-    "events_markov_transitions",
-    "window_yoy_growth",
+    "cdc_merge_incremental",
+    "cdc_merge_apply",
+    "bucketed_join_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q22_global_sales_opportunity",
+    "join_star_flagship",
+    "streaming_tumbling_hourly",  # newly benched streaming drain
+    "streaming_dedup_watermark",
+    # --- longest-unverified (last green in r01/r02) ---
+    "nl_revenue_by_region",
+    "nl_revenue_by_segment",
+    "nl_top_customers",
+    "nl_orders_by_year",
+    "nl_avg_order_value_by_segment",
+    "nl_count_suppliers",
+    "nl_docs_by_language",
+    "nl_longest_documents",
+    "nl_events_by_hour",
+    "nl_events_by_type",
+    "nl_most_active_users",
+    "date_functions",
+    "agg_variance_stddev",
+    "agg_percentiles",
+    "string_functions",
+    "conditional_null_functions",
+    "join_full_outer",
+    "tpch_q12_ship_priority_counts",
+    "tpch_q16_supplier_relationship_count",
+    "tpch_q20_dominant_part_suppliers",
+    "similarity_bruteforce_topk",
+    "similarity_topk_per_query",
+    "similarity_threshold_pairs",
+    "similarity_ivf_ann",
+    "events_json_extract",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_dedup_latest_state",
+    "events_json_schema_parse",
+    "asof_join_event_signup",
+    "range_join_price_bands",
+    "windowed_event_rate",
+    "timeseries_gap_fill",
+    "text_token_count",
+    "text_word_frequency",
+    "text_lang_id",
 ]
 
 
