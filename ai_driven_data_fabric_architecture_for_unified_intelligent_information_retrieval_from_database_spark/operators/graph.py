@@ -329,14 +329,19 @@ def _partkey_packable(lineitem) -> bool:
     silent-corruption hazard, now a plan choice.
     """
     files = tuple(sorted(lineitem.inputFiles()))
-    cached = _PACKABLE_CACHE.get(files)
-    if cached is not None:
-        return cached
+    # Only file-backed frames are cacheable: an in-memory frame reports
+    # no input files, and an empty key would alias every such frame.
+    if files:
+        cached = _PACKABLE_CACHE.get(files)
+        if cached is not None:
+            return cached
     ok = None
     try:
         import pyarrow.parquet as pq
         from urllib.parse import unquote, urlparse
 
+        if not files:  # in-memory frame: nothing to probe, ask Spark
+            raise ValueError("no parquet inputs")
         hi = 0
         for uri in files:
             path = unquote(urlparse(uri).path) or uri
@@ -362,7 +367,8 @@ def _partkey_packable(lineitem) -> bool:
             and row["mn"] >= 0
             and row["mx"] < (1 << 31)
         )
-    _PACKABLE_CACHE[files] = ok
+    if files:
+        _PACKABLE_CACHE[files] = ok
     return ok
 
 
