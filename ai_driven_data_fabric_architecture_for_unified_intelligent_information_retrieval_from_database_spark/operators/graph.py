@@ -26,6 +26,11 @@ _ITERS = 3
 #: SF — the corpus's planted co-purchases), which is also the graph a
 #: recommender would actually walk.
 _MIN_SUPPORT = 2
+#: Below this optimizer-estimated lineitem size, the vectorized
+#: per-partition pair rollup loses to a plain hash groupBy: the Python
+#: worker spin-up (~0.3 s) exceeds the whole small-corpus rollup
+#: (sf0.1 cell measured 1.5 s mapInPandas vs 1.2 s groupBy).
+_VEC_ROLLUP_MIN_BYTES = 64 * 1024 * 1024
 
 
 def _pagerank_oracle() -> str:
@@ -197,7 +202,7 @@ def graph_pagerank_parts(spark, t):
                 .sizeInBytes()
             )
         )
-        if est < 64 * 1024 * 1024:
+        if est < _VEC_ROLLUP_MIN_BYTES:
             # Small corpus: the Python-worker spin-up for the vectorized
             # kernel (~0.3 s) exceeds the whole hash rollup; keep the
             # plain groupBy (sf0.1 cell 1.5 -> 1.2 s).
@@ -310,6 +315,51 @@ def _duplicated_keys_fn(min_support: int):
         yield pd.DataFrame({"pk": u[c >= min_support]})
 
     return fn
+
+
+def order_baskets(lineitem):
+    """Per-order part sets — the shared subtree for every basket-mining
+    consumer. ONE exchange at order grain; collect_set both groups and
+    dedups, so downstream pair counts are over DISTINCT (order, part)."""
+    return lineitem.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+
+
+def copurchase_pair_counts(spark, lineitem=None, min_support: int = 1, baskets=None):
+    """(part_a, part_b, n_ab) for every unordered part pair sharing at
+    least ``min_support`` distinct orders — the shared co-purchase pair
+    primitive behind the basket-mining entries. Pass ``baskets`` (from
+    :func:`order_baskets`) to share the basket subtree with other
+    consumers in the same plan — Catalyst reuses the one order-grain
+    exchange instead of re-shuffling lineitem per consumer.
+
+    Form choice is MEASURED (tools/basket_ab.py, sf10 interleaved
+    min-of-3, identical top-20 rule rows from every form): struct-pair
+    explode + hash rollup. The packed-8-byte-key + vectorized
+    per-partition sort+count form that wins inside PageRank's edge build
+    LOSES here (19.7 s vs 17.7 s struct at sf10 in the full rules query)
+    because this consumer must carry counts out — the mapInPandas
+    rollup's Arrow round-trip costs more than the hash agg it replaces —
+    so this primitive stays JVM-only and needs NO 2^31 partkey guard:
+    correct for any 64-bit part domain at any scale. The explode is
+    bounded per order (<= 7 items -> <= 21 pairs), never
+    corpus-quadratic."""
+    if baskets is None:
+        baskets = order_baskets(lineitem)
+    pair_structs = F.expr(
+        "flatten(transform(parts, x -> transform(filter(parts, y -> y > x),"
+        " y -> struct(x AS part_a, y AS part_b))))"
+    )
+    out = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    if min_support > 1:
+        out = out.where(F.col("n_ab") >= min_support)
+    return out
 
 
 #: Cache for :func:`_partkey_packable`, keyed on the source file list —

@@ -747,26 +747,20 @@ def basket_part_pairs(spark, t):
     """Top-20 part pairs by co-order support — the frequent-itemset
     primitive (the candidate-pair half of A-Priori at k=2).
 
-    Scale shape: the self-join key is l_orderkey, so the pair expansion is
-    quadratic only WITHIN an order — TPC-H orders hold <= 7 items, so each
-    order emits <= 21 pairs and the blow-up is a bounded constant, never
-    corpus-quadratic (the same bounded-group trick the LSH band join uses).
-    One orderkey shuffle for the join, then a map-side-combined (pair,
-    count) rollup whose key space is capped by the co-occurrence
-    dictionary, and a TakeOrdered top-k — no full sort.
+    Scale shape: the pair expansion is quadratic only WITHIN an order —
+    TPC-H orders hold <= 7 items, so each order emits <= 21 pairs and the
+    blow-up is a bounded constant, never corpus-quadratic (the same
+    bounded-group trick the LSH band join uses). One orderkey shuffle for
+    the basket build (:func:`..graph.order_baskets`), one bounded struct-
+    pair explode + rollup (:func:`..graph.copurchase_pair_counts` — form
+    chosen by the tools/basket_ab.py A/B), and a TakeOrdered top-k — no
+    full sort and no fact-scale self-join.
     """
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
+    from .graph import copurchase_pair_counts
+
     return (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
+        copurchase_pair_counts(spark, t["lineitem"])
+        .select("part_a", "part_b", F.col("n_ab").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
@@ -809,23 +803,32 @@ def basket_lift_rules(spark, t):
     Exactness: confidence and lift are single IEEE divisions of exact
     integer products (n_ab * n_orders <= ~1e10 and sup_a * sup_b <=
     ~2.3e12, both far under 2^53, so the doubles are exact before the one
-    division — bit-identical across engines). Scale shape: the pair
-    expansion is the bounded per-order join (<= 21 pairs/order); the
-    per-part support dimension broadcasts into the pair relation; the
+    division — bit-identical across engines). Scale shape: ONE lineitem
+    exchange total — pair counts, per-part support, and the order total
+    all derive from the same :func:`..graph.order_baskets` subtree
+    (collect_set dedups (order, part), so exploding the sets IS the
+    distinct-items relation), and Catalyst reuses that one order-grain
+    shuffle across the three consumers instead of the three separate
+    lineitem shuffles the shipped distinct+self-join form paid
+    (tools/basket_ab.py, sf10 interleaved min-of-3: 17.1 s shipped ->
+    15.5 s shared-baskets, 2.3 s -> 1.2 s at sf0.1; the packed-key
+    vectorized rollup and plain packed/struct explodes without subtree
+    sharing all measured between them). The pair explode is bounded
+    per order (<= 21 pairs); the per-part support dimension broadcasts
+    into the tiny support>=2 pair relation (at a part cardinality past
+    the broadcast budget the hint comes off and this becomes a shuffle
+    join keyed on the pruned pairs — still far below fact scale); the
     order total arrives as a broadcast scalar; top-20 is
     TakeOrderedAndProject."""
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    sup = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
-    total = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_ab"))
-        .where(F.col("n_ab") >= 2)
+    from .graph import copurchase_pair_counts, order_baskets
+
+    baskets = order_baskets(t["lineitem"])
+    items = baskets.select(
+        "l_orderkey", F.explode("parts").alias("l_partkey")
     )
+    sup = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    total = baskets.agg(F.count("*").alias("n_orders"))
+    pairs = copurchase_pair_counts(spark, min_support=2, baskets=baskets)
     sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
     sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
     return (

@@ -322,6 +322,16 @@ def main() -> None:
         for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
         if s.strip()
     }
+    # Opt-in subset (comma-separated): re-measure just the cells a code
+    # change touched — both engines, same conditions — so a curve cell
+    # can be refreshed without a full leg (the r06 stale-cell lesson).
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s.strip()
+    }
+    if only:
+        skip |= {n for n in HEADLINE if n not in only}
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

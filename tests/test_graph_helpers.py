@@ -108,3 +108,54 @@ def test_counted_probe_memoizes(spark, monkeypatch):
             F.col("o_totalprice") > 1000
         )
     )
+
+
+def test_copurchase_pair_counts_matches_plain_rollup(spark):
+    """The struct-explode pair rollup must match a plain distinct+self-join
+    on the smoke corpus — built from lineitem directly AND from a shared
+    order_baskets subtree, with and without the support floor."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators import (
+        graph,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    expected = sorted(
+        map(
+            tuple,
+            a.join(b, "ok")
+            .where(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count("*").alias("n_ab"))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, graph.copurchase_pair_counts(spark, li).collect())
+    )
+    assert got == expected and len(got) > 0
+    # Shared-baskets entry point: identical pairs from a caller-built
+    # order_baskets frame (lineitem arg unused on this path).
+    baskets = graph.order_baskets(li)
+    shared = sorted(
+        map(
+            tuple,
+            graph.copurchase_pair_counts(spark, baskets=baskets).collect(),
+        )
+    )
+    assert shared == expected
+    # Support floor.
+    floor = sorted(
+        map(
+            tuple,
+            graph.copurchase_pair_counts(spark, li, min_support=2).collect(),
+        )
+    )
+    assert floor == [r for r in expected if r[2] >= 2]
+    assert len(floor) < len(expected)
