@@ -63,6 +63,8 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
     # --- round-7 churn ---
+    "basket_lift_rules",
+    "basket_part_pairs",
     "text_repetition_stats",
     "graph_pagerank_parts",
     "cdc_merge_incremental",
