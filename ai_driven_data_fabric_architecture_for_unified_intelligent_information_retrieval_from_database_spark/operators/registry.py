@@ -63,6 +63,7 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
     # --- round-7 churn ---
+    "pipeline_curation_funnel",
     "basket_lift_rules",
     "basket_part_pairs",
     "text_repetition_stats",
@@ -201,6 +202,7 @@ def _ensure_loaded() -> None:
     from . import graph  # noqa: F401
     from . import temporal  # noqa: F401
     from . import text_analysis  # noqa: F401
+    from . import pipeline  # noqa: F401
     from . import scale  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import nl  # noqa: F401

@@ -84,6 +84,10 @@ HEADLINE = [
     "sampling_temperature_mix",
     "streaming_dedup_watermark",
     "streaming_tumbling_hourly",
+    # round-7 flagship: the end-to-end curation funnel (composes quality
+    # filter, normalized dedup, and decontamination over one corpus scan
+    # + one fp exchange + one broadcast anti-join).
+    "pipeline_curation_funnel",
 ]
 
 #: Cells whose construction DOES the work (eager checkpoints, bucketed
