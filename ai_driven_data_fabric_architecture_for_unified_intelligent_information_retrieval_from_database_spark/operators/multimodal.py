@@ -6,10 +6,14 @@ synthesized from document text (``encode(text)``) — but every piece of
 Spark plumbing is real: binary columns flow through codegen, chunking is an
 explode over a computed range, and the decode stage is a ``mapInPandas``
 batch iterator with a declared output schema, exactly the shape a real
-image decoder plugs into. The actual pixel decode is STUBBED (no imaging
-libraries in this environment): ``decode_stub_features`` derives
-deterministic fake features from the bytes, and ``decode_real`` raises
-``NotImplementedError`` with the intended contract documented.
+image decoder plugs into. Decoding comes in two tiers:
+``decode_stub_features`` derives deterministic fake features from raw
+bytes (any payload), and ``decode_real`` is a REAL decoder for binary PPM
+(P6) — netpbm header grammar plus raster statistics in pure numpy, no
+imaging library needed — verified end-to-end by
+``multimodal_decode_ppm_real`` over JVM-synthesized P6 images. Compressed
+codecs (JPEG/PNG) still need a library absent from this environment; they
+replace the parse function, nothing else.
 
 Scale posture: binary payloads never pass through Python except inside the
 Arrow-batched ``mapInPandas`` stage; chunking emits (doc_id, chunk) rows
@@ -136,14 +140,149 @@ def decode_stub_features(df: DataFrame) -> DataFrame:
     return blob_df.mapInPandas(_fake_decode, schema=DECODE_SCHEMA)
 
 
+def _make_ppm_kernel():
+    """Build the P6 parser and its mapInPandas kernel as LOCAL closures:
+    cloudpickle serializes local functions by value, so Python workers
+    never need this package importable on their own sys.path (the
+    streaming/stateful.py pattern — a module-level function pickles as a
+    module reference and raises ModuleNotFoundError on any worker whose
+    PYTHONPATH lacks the repo)."""
+
+    def parse_ppm_p6(buf: bytes) -> tuple:
+        """Parse one binary-PPM (P6) image: (width, height, mean pixel
+        byte). Full header grammar per the netpbm spec: magic, then three
+        decimal fields (width, height, maxval) separated by whitespace
+        runs, with ``#``-to-end-of-line comments allowed anywhere
+        whitespace is, then exactly ONE whitespace byte before the
+        raster."""
+        if buf[:2] != b"P6":
+            raise ValueError(f"not a P6 PPM payload (magic {buf[:2]!r})")
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":
+                while pos < len(buf) and buf[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and buf[pos : pos + 1].isdigit():
+                pos += 1
+            if start == pos:
+                raise ValueError("malformed PPM header")
+            fields.append(int(buf[start:pos]))
+        pos += 1  # the single whitespace byte after maxval
+        width, height, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        n = width * height * 3
+        raster = buf[pos : pos + n]
+        if len(raster) != n:
+            raise ValueError(f"truncated raster: {len(raster)} of {n} bytes")
+        import numpy as np
+
+        px = np.frombuffer(raster, dtype=np.uint8)
+        return width, height, float(int(px.sum(dtype=np.int64))) / n
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w, h, mean = parse_ppm_p6(buf)
+                rows.append((doc_id, len(buf), w, h, 3, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "width", "height", "channels",
+                    "mean_intensity",
+                ],
+            )
+
+    return parse_ppm_p6, decode
+
+
+_parse_ppm_p6, _PPM_DECODE_KERNEL = _make_ppm_kernel()
+
+
 def decode_real(df: DataFrame) -> DataFrame:
-    """Contract for the real decoder (images): same output schema as
-    :func:`decode_stub_features`, implemented with an imaging library over
-    the same mapInPandas iterator. Not available in this environment."""
-    raise NotImplementedError(
-        "real media decoding requires an imaging library (e.g. PIL) not "
-        "present in this environment; use decode_stub_features for the "
-        "pipeline plumbing"
+    """REAL image decode over a binary payload column — pure-numpy parsing
+    of binary PPM (P6), the uncompressed netpbm interchange format, so the
+    decode stage needs no imaging library at all. Output schema is
+    :data:`DECODE_SCHEMA` (mean_intensity is the true mean over every
+    pixel byte of the raster). Compressed formats (JPEG/PNG/WebP) still
+    require a codec library not present in this environment — they plug
+    into this same iterator by replacing :func:`_parse_ppm_p6`.
+
+    Per-image Python is inherent to decoding (a PIL/libvips call is
+    per-image too); the batch loop stays Arrow-fed and the per-image heavy
+    part (the raster reduction) is one vectorized numpy sum.
+    """
+    return df.mapInPandas(_PPM_DECODE_KERNEL, schema=DECODE_SCHEMA)
+
+
+#: Synthesized-PPM geometry: width varies per document (4..16), height is
+#: fixed — variable dimensions make the oracle check prove the header is
+#: actually parsed, not assumed.
+PPM_HEIGHT = 8
+
+
+def ppm_payload() -> F.Column:
+    """A valid binary-PPM (P6) payload whose raster bytes are the leading
+    ``width * height * 3`` characters of the document text (space-padded;
+    the corpus is ASCII so characters ARE bytes) — built entirely JVM-side
+    with no Python in the synthesis path."""
+    w = (F.octet_length("text") % 13 + 4).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(f" {PPM_HEIGHT}\n255\n")
+    )
+    raster = F.expr(
+        "rpad(substring(text, 1, (octet_length(text) % 13 + 4) * "
+        f"{PPM_HEIGHT * 3}), (octet_length(text) % 13 + 4) * "
+        f"{PPM_HEIGHT * 3}, ' ')"
+    )
+    return F.concat(F.encode(header, "UTF-8"), F.encode(raster, "UTF-8"))
+
+
+@query(
+    "multimodal_decode_ppm_real",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   OCTET_LENGTH(ENCODE(text)) % 13 + 4 AS w,
+                   RPAD(SUBSTRING(text, 1,
+                            (OCTET_LENGTH(ENCODE(text)) % 13 + 4) * {PPM_HEIGHT * 3}),
+                        CAST((OCTET_LENGTH(ENCODE(text)) % 13 + 4)
+                             * {PPM_HEIGHT * 3} AS INT),
+                        ' ') AS px
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(LENGTH('P6' || CHR(10) || w || ' {PPM_HEIGHT}' || CHR(10)
+                           || '255' || CHR(10)) + w * {PPM_HEIGHT * 3} AS BIGINT)
+                   AS n_bytes,
+               CAST(w AS INT) AS width,
+               {PPM_HEIGHT} AS height,
+               3 AS channels,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, w * {PPM_HEIGHT * 3} + 1),
+                                       i -> ASCII(SUBSTRING(px, i, 1))))
+                   / CAST(w * {PPM_HEIGHT * 3} AS DOUBLE) AS mean_intensity
+        FROM g
+    """,
+    covers="pipeline: REAL multimodal decode (binary PPM P6 parsed with "
+    "numpy in the Arrow-batched decode stage; true raster statistics)",
+)
+def multimodal_decode_ppm_real(spark, t):
+    """End-to-end REAL decode: synthesize a valid P6 image per document
+    JVM-side (:func:`ppm_payload`), parse it for real in the decode stage
+    (:func:`decode_real` — header grammar + raster reduction, pure numpy),
+    and verify true per-image statistics against the oracle's independent
+    reconstruction. Variable widths prove the header is parsed, not
+    assumed."""
+    return decode_real(
+        t["documents"].select("doc_id", ppm_payload().alias("payload"))
     )
 
 

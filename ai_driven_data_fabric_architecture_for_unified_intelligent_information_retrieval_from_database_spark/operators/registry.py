@@ -64,6 +64,7 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 SAMPLE_PRIORITY: list[str] = [
     # --- round-7 churn ---
     "pipeline_curation_funnel",
+    "multimodal_decode_ppm_real",
     "basket_lift_rules",
     "basket_part_pairs",
     "text_repetition_stats",
