@@ -81,7 +81,12 @@ def cdc_merge_apply(spark, t):
     does not support full outer — so both sides always exchange
     regardless of feed size; a lakehouse MERGE INTO beats this shape not
     by broadcasting but by file-skipping to the touched partitions,
-    which is what the delta/iceberg connectors would add.)"""
+    which is what the delta/iceberg connectors would add. The r07 A/B,
+    tools/cdc_ab.py, measured the obvious alternative — decompose into a
+    broadcast left-outer plus a key-only anti for inserts — and REJECTED
+    it: this entry's feed scales with the corpus, so at sf10 the split
+    is 7.8 s vs 1.8 s for this form; a genuinely-small feed is the
+    cdc_merge_incremental bucketed target's job.)"""
     o = t["orders"]
     snapshot = o.select(
         F.col("o_orderkey").alias("key"),
