@@ -261,3 +261,25 @@ def test_flip1_probe_recall_exceeds_home_bucket_alone(spark):
     r0, r1 = recall_at(0), recall_at(1)
     assert r1 > r0
     assert r1 >= 0.75  # flip-1: the registered operators' working point
+
+
+def test_ppm_parser_roundtrip_fuzz():
+    """Property: any (w, h, raster) synthesized per the P6 grammar — with
+    random comment/whitespace noise in the header — parses back to exactly
+    (w, h, mean(raster)). Deterministic seed, no Spark."""
+    import random
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.multimodal import (
+        _parse_ppm_p6,
+    )
+
+    rng = random.Random(20260815)
+    for _ in range(200):
+        w, h = rng.randint(1, 40), rng.randint(1, 40)
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        ws = lambda: rng.choice([b" ", b"\n", b"\t", b" \n ", b"#junk 1 2\n"])
+        header = b"P6" + ws() + str(w).encode() + ws() + str(h).encode()
+        header += ws() + b"255\n"
+        got_w, got_h, mean = _parse_ppm_p6(header + raster)
+        assert (got_w, got_h) == (w, h)
+        assert mean == sum(raster) / (w * h * 3)
