@@ -65,6 +65,7 @@ SAMPLE_PRIORITY: list[str] = [
     # --- round-7 churn ---
     "pipeline_curation_funnel",
     "multimodal_decode_ppm_real",
+    "layout_zorder_box_read",
     "basket_lift_rules",
     "basket_part_pairs",
     "text_repetition_stats",

@@ -132,6 +132,71 @@ def partition_pruned_daily_read(spark, t):
 
 
 @query(
+    "layout_zorder_box_read",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               {sql_stable_sum('value')} AS total_value
+        FROM events
+        WHERE user_id BETWEEN 40 AND 59
+          AND ts >= TIMESTAMP '2024-01-08'
+          AND ts < TIMESTAMP '2024-01-22'
+        GROUP BY event_type
+    """,
+    covers="scale: Z-order-clustered layout + 2-D box-predicate read "
+    "(multi-dimensional file/row-group skipping on vanilla parquet)",
+)
+def layout_zorder_box_read(spark, t):
+    """Round-trip through the multi-dimensional storage layout: write
+    events Z-order-clustered on (user_id, ts)
+    (sources/sinks.py::write_zordered — Morton-key total sort), read back
+    with a box predicate selective in BOTH dimensions, aggregate.
+
+    Why this layout exists: a ts-sorted layout prunes time ranges but
+    scatters any one user across every file; a user-sorted layout is the
+    mirror image. The Morton sort makes parquet footer min/max stats
+    selective on both dimensions at once, so a user-range x time-range
+    box touches a small neighborhood of files instead of ~one dimension's
+    worth — vanilla-parquet OPTIMIZE ZORDER. The clustering effect is
+    pinned in tests/test_scale_ops.py (the box's rows concentrate in
+    strictly fewer files than a 1-D sort produces for the same file
+    count); the oracle pins layout INVARIANCE (identical aggregate over
+    the rewritten copy). Written once per source corpus via the shared
+    digest-keyed layout cache; predicate literals pinned per SURVEY §7.2
+    (586 rows, 5 groups at sf0.01 — non-vacuous)."""
+    from ..functions.numerics import stable_sum
+    from ..sources.sinks import write_zordered
+
+    ev = t["events"]
+    digest = _corpus_digest(ev)
+    path = _cached_layout(
+        "/tmp/events_zorder_cache",
+        digest,
+        "events_zorder",
+        lambda p: write_zordered(
+            ev,
+            p,
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").cast("long"),
+            max_records_per_file=max(ev.count() // 64, 1000),
+        ),
+    )
+    return (
+        spark.read.parquet(path)
+        .where(
+            F.col("user_id").between(40, 59)
+            & (F.col("ts") >= F.lit("2024-01-08").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-22").cast("timestamp_ntz"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum("value").alias("total_value"),
+        )
+    )
+
+
+@query(
     "sampling_pack_shards",
     oracle="""
         WITH sized AS (

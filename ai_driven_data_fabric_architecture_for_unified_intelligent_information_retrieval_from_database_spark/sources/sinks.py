@@ -63,3 +63,68 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Schema-merging read of a partitioned layout (partition columns come
     back as real columns, usable in predicates that prune)."""
     return spark.read.parquet(path)
+
+
+def zorder_key(a_name: str, b_name: str, bits: int = 16):
+    """Morton (Z-order) key over two LONG columns already scaled to
+    [0, 2^bits): bit k of each input lands at positions 2k+1 / 2k of the
+    key, so sorting by the key clusters rows that are close in BOTH
+    dimensions into the same neighborhoods — the multi-dimensional
+    counterpart of a sort column. Pure Catalyst HOF (aggregate over a
+    16-element sequence), interpreted but write-path-only.
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> "
+        f"acc + shiftleft(shiftright({a_name}, k) & 1, k * 2 + 1)"
+        f" + shiftleft(shiftright({b_name}, k) & 1, k * 2))"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_a,
+    dim_b,
+    bits: int = 16,
+    max_records_per_file: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: rows are globally sorted by the Morton
+    key of two dimension expressions, so parquet footer min/max statistics
+    become selective on BOTH dimensions at once and a 2-D box predicate
+    skips most files/row groups — the vanilla-parquet form of what
+    lakehouse OPTIMIZE ZORDER provides.
+
+    ``dim_a``/``dim_b`` are Column expressions (any orderable numeric);
+    each is min/max-scaled to ``bits`` bits from a one-row aggregate over
+    the input (a driver-side scalar read — the only action besides the
+    write). The sort is a range-partitioned total sort: one exchange,
+    paid once at write time, amortized over every later pruned read (the
+    write_bucketed argument, applied to scans instead of joins).
+    """
+    from pyspark.sql import functions as F
+
+    a, b = dim_a.cast("double"), dim_b.cast("double")
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    top = (1 << bits) - 1
+
+    def scaled(col, lo, hi):
+        span = (hi - lo) or 1.0
+        return ((col - lo) / span * top).cast("long")
+
+    keyed = df.withColumn("_za", scaled(a, lo_a, hi_a)).withColumn(
+        "_zb", scaled(b, lo_b, hi_b)
+    )
+    out = (
+        keyed.withColumn("_zkey", zorder_key("_za", "_zb", bits))
+        .orderBy("_zkey")
+        .drop("_za", "_zb", "_zkey")
+    )
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
