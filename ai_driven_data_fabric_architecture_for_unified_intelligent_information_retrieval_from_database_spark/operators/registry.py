@@ -66,6 +66,7 @@ SAMPLE_PRIORITY: list[str] = [
     "pipeline_curation_funnel",
     "multimodal_decode_ppm_real",
     "layout_zorder_box_read",
+    "streaming_static_enrichment",
     "basket_lift_rules",
     "basket_part_pairs",
     "text_repetition_stats",

@@ -126,6 +126,42 @@ def streaming_view_purchase_join(spark, sf_dir):
 
 
 @query_sfdir(
+    "streaming_static_enrichment",
+    oracle=f"""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_events,
+               {sql_stable_sum('e.value')} AS total_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """,
+    covers="2.9 streaming stream-static dimension join (broadcast enrichment, "
+    "no join state)",
+)
+def streaming_static_enrichment(spark, sf_dir):
+    """Stream-STATIC join — the enrichment pattern: each micro-batch joins
+    the event stream against a broadcast static dimension (customer), then
+    feeds a stateful rollup. Unlike a stream-stream join this keeps NO join
+    state and needs no watermark on the dimension side: Spark re-plans the
+    static side per micro-batch, and at 100 TB the dimension broadcasts
+    into every executor once per batch — the streaming twin of the batch
+    star join. The aggregate runs in complete mode (state = 5 segments)."""
+    from ..sources.catalog import register_views
+
+    ev = sw.events_stream(spark, sf_dir)
+    cust = register_views(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id").groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count("*").alias("n_events"),
+        stable_sum("value").alias("total_value"),
+    )
+    return sw.run_available_now(enriched, "reg_stream_static_enrich")
+
+
+@query_sfdir(
     "streaming_daily_rollup",
     oracle="""
         SELECT CAST(ts AS DATE) AS day,
