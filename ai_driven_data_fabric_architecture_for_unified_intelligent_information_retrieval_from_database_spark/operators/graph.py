@@ -169,12 +169,11 @@ def graph_pagerank_parts(spark, t):
       touched and concurrent query construction can't observe AQE off.
       The fact-scale edge build keeps AQE on in the parent session.
     """
-    # Per-order baskets via collect_set — ONE exchange (order grain)
-    # plus the pair-count rollup. The HOF lambdas run interpreted but
-    # over <= 7-item baskets (bounded, never corpus-quadratic).
-    baskets = t["lineitem"].groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
-    )
+    # Per-order baskets via collect_set (the shared order_baskets
+    # subtree) — ONE exchange (order grain) plus the pair-count rollup.
+    # The HOF lambdas run interpreted but over <= 7-item baskets
+    # (bounded, never corpus-quadratic).
+    baskets = order_baskets(t["lineitem"])
     if _partkey_packable(t["lineitem"]):
         packed_pairs = F.expr(
             "flatten(transform(parts, x -> "
@@ -326,7 +325,7 @@ def order_baskets(lineitem):
     )
 
 
-def copurchase_pair_counts(spark, lineitem=None, min_support: int = 1, baskets=None):
+def copurchase_pair_counts(lineitem=None, min_support: int = 1, baskets=None):
     """(part_a, part_b, n_ab) for every unordered part pair sharing at
     least ``min_support`` distinct orders — the shared co-purchase pair
     primitive behind the basket-mining entries. Pass ``baskets`` (from
@@ -346,6 +345,8 @@ def copurchase_pair_counts(spark, lineitem=None, min_support: int = 1, baskets=N
     bounded per order (<= 7 items -> <= 21 pairs), never
     corpus-quadratic."""
     if baskets is None:
+        if lineitem is None:
+            raise ValueError("pass lineitem or baskets")
         baskets = order_baskets(lineitem)
     pair_structs = F.expr(
         "flatten(transform(parts, x -> transform(filter(parts, y -> y > x),"

@@ -150,11 +150,12 @@ def _make_ppm_kernel():
 
     def parse_ppm_p6(buf: bytes) -> tuple:
         """Parse one binary-PPM (P6) image: (width, height, mean pixel
-        byte). Full header grammar per the netpbm spec: magic, then three
+        byte). Header grammar per the netpbm spec: magic, then three
         decimal fields (width, height, maxval) separated by whitespace
-        runs, with ``#``-to-end-of-line comments allowed anywhere
-        whitespace is, then exactly ONE whitespace byte before the
-        raster."""
+        runs with ``#``-to-end-of-line comments allowed BETWEEN fields,
+        then exactly ONE whitespace byte before the raster (the spec
+        allows no comment there — a non-whitespace byte after maxval is
+        rejected loudly rather than misread as raster)."""
         if buf[:2] != b"P6":
             raise ValueError(f"not a P6 PPM payload (magic {buf[:2]!r})")
         pos, fields = 2, []
@@ -171,14 +172,22 @@ def _make_ppm_kernel():
             if start == pos:
                 raise ValueError("malformed PPM header")
             fields.append(int(buf[start:pos]))
+        if not buf[pos : pos + 1].isspace():
+            raise ValueError("malformed PPM header: no whitespace after maxval")
         pos += 1  # the single whitespace byte after maxval
         width, height, maxval = fields
         if maxval > 255:
             raise ValueError("16-bit PPM not supported")
+        if width < 1 or height < 1:
+            raise ValueError(f"zero-dimension image ({width}x{height})")
         n = width * height * 3
         raster = buf[pos : pos + n]
         if len(raster) != n:
             raise ValueError(f"truncated raster: {len(raster)} of {n} bytes")
+        if len(buf) != pos + n:
+            raise ValueError(
+                f"{len(buf) - pos - n} trailing bytes after the raster"
+            )
         import numpy as np
 
         px = np.frombuffer(raster, dtype=np.uint8)
@@ -231,16 +240,22 @@ PPM_HEIGHT = 8
 
 def ppm_payload() -> F.Column:
     """A valid binary-PPM (P6) payload whose raster bytes are the leading
-    ``width * height * 3`` characters of the document text (space-padded;
-    the corpus is ASCII so characters ARE bytes) — built entirely JVM-side
-    with no Python in the synthesis path."""
-    w = (F.octet_length("text") % 13 + 4).cast("int")
+    ``width * height * 3`` characters of the document text (space-padded)
+    — built entirely JVM-side with no Python in the synthesis path.
+
+    Dimensions and slicing are all in CHARACTERS (``length``/``substring``
+    /``rpad``) so the Spark construction and the oracle's reconstruction
+    agree by definition; the corpus is ASCII so characters encode 1:1 to
+    raster bytes. A non-ASCII document would encode to MORE than
+    ``w*h*3`` bytes — the decoder's exact-length check rejects that
+    payload loudly (trailing-bytes error) instead of mis-decoding."""
+    w = (F.length("text") % 13 + 4).cast("int")
     header = F.concat(
         F.lit("P6\n"), w.cast("string"), F.lit(f" {PPM_HEIGHT}\n255\n")
     )
     raster = F.expr(
-        "rpad(substring(text, 1, (octet_length(text) % 13 + 4) * "
-        f"{PPM_HEIGHT * 3}), (octet_length(text) % 13 + 4) * "
+        "rpad(substring(text, 1, (length(text) % 13 + 4) * "
+        f"{PPM_HEIGHT * 3}), (length(text) % 13 + 4) * "
         f"{PPM_HEIGHT * 3}, ' ')"
     )
     return F.concat(F.encode(header, "UTF-8"), F.encode(raster, "UTF-8"))
@@ -251,10 +266,10 @@ def ppm_payload() -> F.Column:
     oracle=f"""
         WITH g AS (
             SELECT doc_id,
-                   OCTET_LENGTH(ENCODE(text)) % 13 + 4 AS w,
+                   LENGTH(text) % 13 + 4 AS w,
                    RPAD(SUBSTRING(text, 1,
-                            (OCTET_LENGTH(ENCODE(text)) % 13 + 4) * {PPM_HEIGHT * 3}),
-                        CAST((OCTET_LENGTH(ENCODE(text)) % 13 + 4)
+                            (LENGTH(text) % 13 + 4) * {PPM_HEIGHT * 3}),
+                        CAST((LENGTH(text) % 13 + 4)
                              * {PPM_HEIGHT * 3} AS INT),
                         ' ') AS px
             FROM documents

@@ -759,7 +759,7 @@ def basket_part_pairs(spark, t):
     from .graph import copurchase_pair_counts
 
     return (
-        copurchase_pair_counts(spark, t["lineitem"])
+        copurchase_pair_counts(t["lineitem"])
         .select("part_a", "part_b", F.col("n_ab").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
@@ -828,7 +828,7 @@ def basket_lift_rules(spark, t):
     )
     sup = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
     total = baskets.agg(F.count("*").alias("n_orders"))
-    pairs = copurchase_pair_counts(spark, min_support=2, baskets=baskets)
+    pairs = copurchase_pair_counts(min_support=2, baskets=baskets)
     sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
     sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
     return (

@@ -110,6 +110,14 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).first()
+    if lo_a is None or lo_b is None:
+        # Empty (or all-NULL-dimension) input: nothing to cluster — write
+        # the frame as-is rather than crash on None arithmetic.
+        writer = df.write.mode(mode)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(path)
+        return
     top = (1 << bits) - 1
 
     def scaled(col, lo, hi):

@@ -335,6 +335,13 @@ def main() -> None:
         if s.strip()
     }
     if only:
+        unknown = only - set(HEADLINE)
+        if unknown:
+            # A typo'd name would otherwise skip EVERY cell and record an
+            # empty "successful" pass (review r07).
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {sorted(unknown)}"
+            )
         skip |= {n for n in HEADLINE if n not in only}
     load_start = os.getloadavg()
     timings: dict[str, float] = {}

@@ -137,7 +137,7 @@ def test_copurchase_pair_counts_matches_plain_rollup(spark):
         )
     )
     got = sorted(
-        map(tuple, graph.copurchase_pair_counts(spark, li).collect())
+        map(tuple, graph.copurchase_pair_counts(li).collect())
     )
     assert got == expected and len(got) > 0
     # Shared-baskets entry point: identical pairs from a caller-built
@@ -146,7 +146,7 @@ def test_copurchase_pair_counts_matches_plain_rollup(spark):
     shared = sorted(
         map(
             tuple,
-            graph.copurchase_pair_counts(spark, baskets=baskets).collect(),
+            graph.copurchase_pair_counts(baskets=baskets).collect(),
         )
     )
     assert shared == expected
@@ -154,7 +154,7 @@ def test_copurchase_pair_counts_matches_plain_rollup(spark):
     floor = sorted(
         map(
             tuple,
-            graph.copurchase_pair_counts(spark, li, min_support=2).collect(),
+            graph.copurchase_pair_counts(li, min_support=2).collect(),
         )
     )
     assert floor == [r for r in expected if r[2] >= 2]

@@ -86,6 +86,14 @@ def test_ppm_parser_header_grammar():
         _parse_ppm_p6(b"P6\n2 3\n255\n" + raster[:-1])
     with pytest.raises(ValueError, match="16-bit"):
         _parse_ppm_p6(b"P6\n2 3\n65535\n" + raster * 2)
+    # The spec allows NO comment between maxval and the raster — reject
+    # rather than silently reading comment bytes as pixels (review r07).
+    with pytest.raises(ValueError, match="whitespace after maxval"):
+        _parse_ppm_p6(b"P6\n2 3\n255#c\n" + raster)
+    with pytest.raises(ValueError, match="zero-dimension"):
+        _parse_ppm_p6(b"P6\n0 3\n255\n")
+    with pytest.raises(ValueError, match="trailing bytes"):
+        _parse_ppm_p6(b"P6\n2 3\n255\n" + raster + b"\n")
 
 
 def test_multimodal_decode_real_roundtrip(spark):
@@ -108,7 +116,7 @@ def test_multimodal_decode_real_roundtrip(spark):
         ).collect()
     }
     for row in docs.select("doc_id", "text").limit(20).collect():
-        w = len(row["text"].encode()) % 13 + 4
+        w = len(row["text"]) % 13 + 4
         n = w * PPM_HEIGHT * 3
         body = row["text"][:n].ljust(n).encode()
         r = got[row["doc_id"]]

@@ -240,7 +240,8 @@ def main():
     ref = None
     for name, mk in full.items():
         rows = sorted(tuple(r) for r in mk().collect())
-        ref = ref or rows
+        assert rows, f"{name}: empty result (vacuous agreement)"
+        ref = rows if ref is None else ref
         assert rows == ref, name
     print("all forms agree")
     n_reuse = (

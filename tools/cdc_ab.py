@@ -124,7 +124,8 @@ def main():
     ref = None
     for name, mk in forms.items():
         rows = sorted(tuple(r) for r in mk().collect())
-        ref = ref or rows
+        assert rows, f"{name}: empty result (vacuous agreement)"
+        ref = rows if ref is None else ref
         assert rows == ref, name
     print("forms agree")
     best = {n: None for n in forms}
