@@ -117,8 +117,7 @@ def pipeline_curation_funnel(spark, t):
     so the keep-one-per-fingerprint stage has real attrition to report
     (keep-lowest-id makes the negative copy the kept representative).
 
-    Scale shape, stage by stage (the point of the entry — no exchange
-    anywhere carries document bodies, and the count is fixed regardless
+    Scale shape, stage by stage (the exchange count is fixed regardless
     of corpus size):
 
     - stages 0-3 (raw / holdout / language / quality) are per-row
@@ -126,8 +125,14 @@ def pipeline_curation_funnel(spark, t):
       corpus scan — no shuffle carries document bodies, the stack()
       reshape runs on one 8-column row;
     - stage 4 (dedup) is the one fingerprint exchange: a window
-      min(doc_id) per md5(normalized text) over quality survivors —
-      carries (fp, id, token count), never text;
+      min(doc_id) per md5(normalized text) over quality survivors. In
+      the stage-4 rollup branch column pruning cuts it to
+      (doc_id, n_tokens, fp); the contamination branch's evaluation of
+      the same window must carry the word arrays through the exchange
+      (they are stage 5's shingle source) — the funnel's one
+      corpus-sized shuffle. (Shuffling only keep-ids and re-joining
+      flags for the arrays would avoid it at the price of two more
+      corpus-grain exchanges plus a rescan — strictly worse.);
     - stage 5 (decontam) hashes each survivor's 5-gram shingles straight
       from the word array (xxhash64, no shingle string ever built — the
       `text_decontaminate` kernel and its collision argument, p ~ 2^-64
