@@ -155,11 +155,15 @@ def pipeline_curation_funnel(spark, t):
     Output is six (stage, n_docs, n_tokens) rows — the data-card funnel.
     """
     d = t["documents"]
-    corpus = d.select("doc_id", "lang", "text").unionAll(
-        d.where(F.col("doc_id") % 7 == 0).select(
-            (-F.col("doc_id") - 1).alias("doc_id"), "lang", "text"
-        )
-    )
+    # Re-injection via a per-row id-array explode, NOT a unionAll of a
+    # second filtered read: a union branch doubles the documents scan in
+    # EVERY consumer of the flags subtree (this plan derives five), while
+    # the explode replicates the row after one scan.
+    ids = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.array(F.col("doc_id"), -F.col("doc_id") - 1),
+    ).otherwise(F.array(F.col("doc_id")))
+    corpus = d.select(F.explode(ids).alias("doc_id"), "lang", "text")
     lang_ok = F.col("lang") == "en"
     n_tokens = F.size(words_col()).cast("long")
     n_chars = F.length("text").cast("long")
