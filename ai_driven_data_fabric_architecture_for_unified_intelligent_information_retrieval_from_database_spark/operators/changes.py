@@ -228,7 +228,12 @@ def cdc_merge_incremental(spark, t):
 
     v1 = _merge_batch(spark.table(base_tbl), batch1)
     from ..sources.sinks import write_bucketed
+    from .scale import prepare_table_location
 
+    # Same warehouse hygiene as the base table (review r07): clear a
+    # recycled-token leftover and age-prune cdc_inc_* dirs from exited
+    # processes, which otherwise accumulated without bound.
+    prepare_table_location(spark, inc_tbl, "cdc_inc_")
     write_bucketed(v1, inc_tbl, "key", n_buckets=16, sort_col="key")
     v2 = _merge_batch(spark.table(inc_tbl), batch2)
     return v2.groupBy("status").agg(

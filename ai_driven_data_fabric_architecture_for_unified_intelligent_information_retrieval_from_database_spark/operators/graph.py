@@ -192,16 +192,9 @@ def graph_pagerank_parts(spark, t):
         # count is the session's shuffle parallelism, so the shape holds
         # at cluster scale.
         pairs = baskets.select(F.explode(packed_pairs).alias("pk"))
-        est = int(
-            str(
-                t["lineitem"]
-                ._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-            )
-        )
-        if est < _VEC_ROLLUP_MIN_BYTES:
+        from .relational import plan_size_estimate
+
+        if plan_size_estimate(t["lineitem"]) < _VEC_ROLLUP_MIN_BYTES:
             # Small corpus: the Python-worker spin-up for the vectorized
             # kernel (~0.3 s) exceeds the whole hash rollup; keep the
             # plain groupBy (sf0.1 cell 1.5 -> 1.2 s).
@@ -247,7 +240,7 @@ def graph_pagerank_parts(spark, t):
     # from construction, where the checkpoint (and the whole iteration
     # phase below) executes.
     co = co.localCheckpoint()
-    _clone, co = _lift_into_aqe_off_session(spark, co)
+    co = _lift_into_aqe_off_session(spark, co)
     pairs = co.unionAll(
         co.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -425,8 +418,9 @@ def _partkey_packable(lineitem) -> bool:
 
 def _lift_into_aqe_off_session(spark, df):
     """Re-root a (checkpointed) DataFrame in a cloned session with AQE
-    disabled, copying the planner confs that matter; returns
-    ``(clone, df_in_clone)``.
+    disabled, copying the planner confs that matter; returns the lifted
+    frame (its ``.sparkSession`` IS the clone — no separate handle to
+    keep alive).
 
     ``SparkSession.newSession()`` shares the SparkContext (and the
     checkpointed RDD blocks) but has an ISOLATED SQLConf, so disabling
@@ -447,10 +441,9 @@ def _lift_into_aqe_off_session(spark, df):
         except Exception:
             pass
     clone.conf.set("spark.sql.adaptive.enabled", "false")
-    lifted = DataFrame(
+    return DataFrame(
         clone._jsparkSession.createDataFrame(
             df._jdf.toJavaRDD(), df._jdf.schema()
         ),
         clone,
     )
-    return clone, lifted

@@ -539,14 +539,21 @@ def _broadcast_threshold(spark) -> int:
         return 10 * 1024 * 1024
 
 
+def plan_size_estimate(df) -> int:
+    """Catalyst's pre-AQE size estimate (bytes) for a DataFrame's optimized
+    plan — the one py4j incantation every cost-based form choice in this
+    package shares (broadcast fitness here, the q5 orders-slice gate in
+    tpch.py, the small-corpus rollup gate in graph.py)."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
 def _fits_broadcast(spark, df) -> bool:
     """Catalyst's own pre-AQE size estimate for ``df`` against the session
     broadcast threshold — the same comparison the planner makes."""
     thr = _broadcast_threshold(spark)
     if thr <= 0:
         return False
-    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    return size <= thr
+    return plan_size_estimate(df) <= thr
 
 
 #: Borderline band for :func:`_fits_broadcast_counted`: when the static

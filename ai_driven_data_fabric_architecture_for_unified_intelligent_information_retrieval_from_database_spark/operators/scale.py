@@ -432,8 +432,6 @@ def ensure_bucketed_table(
     cycles don't grow the warehouse.
     """
     import os
-    import shutil
-    import time
     from urllib.parse import urlparse
 
     from ..sources.sinks import write_bucketed
@@ -446,9 +444,28 @@ def ensure_bucketed_table(
         except OSError:
             pass
         return
-    if os.path.isdir(location):
+    prepare_table_location(spark, table, table.split(digest)[0].lower())
+    write_bucketed(df, table, key, n_buckets=n_buckets, sort_col=key)
+
+
+def prepare_table_location(spark, table: str, family_prefix: str) -> None:
+    """Warehouse hygiene for a per-process table name about to be written
+    (the ensure_bucketed_table discipline, reusable by any writer of
+    ``{family}_{digest}_{token}`` tables): clear a leftover location under
+    OUR name (only a dead previous process with a recycled token can have
+    left it), and age-prune orphaned same-family siblings (old digests,
+    exited sessions) so repeated cycles don't grow the shared warehouse
+    directory (review r07: the CDC incremental target's tables previously
+    skipped both steps and accumulated forever)."""
+    import os
+    import shutil
+    import time
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    location = f"{warehouse}/{table.lower()}"
+    if os.path.isdir(location) and not spark.catalog.tableExists(table):
         shutil.rmtree(location)
-    prefix = table.split(digest)[0].lower()
     if os.path.isdir(warehouse):
         now = time.time()
         for d in os.listdir(warehouse):
@@ -457,10 +474,9 @@ def ensure_bucketed_table(
                 old_enough = now - os.path.getmtime(full) > _PRUNE_MIN_AGE_S
             except OSError:
                 continue
-            if d.startswith(prefix) and d != table.lower() and old_enough:
+            if d.startswith(family_prefix) and d != table.lower() and old_enough:
                 spark.sql(f"DROP TABLE IF EXISTS {d}")
                 shutil.rmtree(full, ignore_errors=True)
-    write_bucketed(df, table, key, n_buckets=n_buckets, sort_col=key)
 
 
 @query(

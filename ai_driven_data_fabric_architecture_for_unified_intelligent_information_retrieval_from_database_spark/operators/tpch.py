@@ -270,12 +270,12 @@ def _q5_orders_slice_fits(spark, o_win, oc) -> bool:
     date-window estimate sits inside the band and the count decides; at
     100 TB the orders estimate alone is terabytes, so the scalable
     shuffle form is taken without paying any probe."""
-    from .relational import _PROBE_SLACK, _broadcast_threshold
+    from .relational import _PROBE_SLACK, _broadcast_threshold, plan_size_estimate
 
     thr = _broadcast_threshold(spark)
     if thr <= 0:
         return False
-    est = int(str(o_win._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    est = plan_size_estimate(o_win)
     if est <= thr:
         return True
     n_regions = 5  # the corpus's region count; the ASIA cut keeps ~1/5

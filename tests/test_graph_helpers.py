@@ -62,7 +62,8 @@ def test_lift_isolates_aqe(spark):
     src = spark.range(1000).select(
         F.col("id").alias("src"), (F.col("id") % 7).alias("dst")
     ).localCheckpoint()
-    clone, lifted = _lift_into_aqe_off_session(spark, src)
+    lifted = _lift_into_aqe_off_session(spark, src)
+    clone = lifted.sparkSession
     assert clone.conf.get("spark.sql.adaptive.enabled") == "false"
     assert spark.conf.get("spark.sql.adaptive.enabled") == parent_aqe
     assert clone.conf.get("spark.sql.shuffle.partitions") == spark.conf.get(

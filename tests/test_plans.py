@@ -503,7 +503,11 @@ def test_cdc_incremental_snapshot_side_no_exchange(spark):
     assert join_depth is not None, plan[:3000]
     # snapshot side = everything between the join and its bucketed scan
     # (the explain tree prints the first child fully before the second)
-    scan_i = next(i for i, n in enumerate(subtree) if "Scan" in n and "cdc_inc" in n)
+    scan_i = next(
+        (i for i, n in enumerate(subtree) if "Scan" in n and "cdc_inc" in n),
+        None,
+    )
+    assert scan_i is not None, f"no bucketed cdc_inc scan in: {subtree}"
     assert not any("Exchange" in n for n in subtree[:scan_i]), subtree
     # and the change-feed side (after the scan) is where the one shuffle is
     assert any("Exchange" in n for n in subtree[scan_i + 1:]), subtree

@@ -100,11 +100,20 @@ def main() -> None:
         # full session's sf0.1+sf1 numbers in round 4).
         with open(os.path.join(REPO, "scale_curve.json"), "w") as f:
             json.dump(results, f, indent=2)
-        print(
-            f"# sf={spark['sf']}: spark={spark['value']}s "
-            f"duckdb={duck['value']}s ratio={spark['value']/duck['value']:.1f}x",
-            file=sys.stderr,
-        )
+        # Summarize on the ORACLE-COMMON pair bench.py computes for
+        # exactly this comparison (the full-suite Spark total would be
+        # biased the moment any cell lacks an oracle), and survive a
+        # disabled/empty reference (SPARK_GRAFT_DUCKDB_REF=0) instead of
+        # dividing by None (review r07).
+        s_common = ref.get("spark_value_common")
+        if duck["value"] and s_common:
+            summary = (
+                f"spark_common={s_common}s duckdb={duck['value']}s "
+                f"ratio={s_common / duck['value']:.1f}x"
+            )
+        else:
+            summary = f"spark={spark['value']}s (no DuckDB reference pass)"
+        print(f"# sf={spark['sf']}: {summary}", file=sys.stderr)
 
     with open(os.path.join(REPO, "scale_curve.json"), "w") as f:
         json.dump(results, f, indent=2)
