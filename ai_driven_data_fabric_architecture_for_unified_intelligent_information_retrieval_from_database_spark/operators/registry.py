@@ -67,6 +67,7 @@ SAMPLE_PRIORITY: list[str] = [
     "multimodal_decode_ppm_real",
     "layout_zorder_box_read",
     "streaming_static_enrichment",
+    "source_schema_evolution",
     "basket_lift_rules",
     "basket_part_pairs",
     "text_repetition_stats",

@@ -582,6 +582,61 @@ def source_orc_roundtrip(spark, t):
 
 
 @query(
+    "source_schema_evolution",
+    oracle=f"""
+        SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+               COUNT(*) AS n_orders,
+               {sql_stable_sum('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+    covers="scale/sources: schema-evolution read (mergeSchema union over "
+    "files written before and after a column add; missing column "
+    "null-fills)",
+)
+def source_schema_evolution(spark, t):
+    """Read a layout written in TWO schema versions — the rows ingested
+    before a column existed (o_orderkey, o_totalprice) and the rows after
+    o_orderstatus was added — with ``mergeSchema``: Spark unions the
+    footer schemas and null-fills the missing column in old files. This
+    is the lakehouse steady state (schemas evolve in place; history is
+    not rewritten), and the per-file-schema read is what makes the 100 TB
+    migration a no-op instead of a full-table rewrite. Both versions are
+    written once per corpus into one directory via the shared digest
+    cache; the oracle reconstructs the same null-fill from the original
+    table. The status=NULL group is the v1 rowset — non-vacuous at every
+    SF."""
+    o = t["orders"]
+    digest = _corpus_digest(o)
+
+    def write_two_versions(p):
+        v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        v1.write.mode("overwrite").parquet(p)
+        v2.write.mode("append").parquet(p)
+
+    path = _cached_layout(
+        "/tmp/schema_evolution_cache", digest, "orders_two_schemas",
+        write_two_versions,
+    )
+    from ..functions.numerics import stable_sum
+
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            stable_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
     "sampling_temperature_mix",
     oracle="""
         WITH q AS (
