@@ -136,3 +136,42 @@ def write_zordered(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet layout into files sized
+    for scan parallelism, returning the output file count.
+
+    Streaming sinks and frequent small batch appends produce thousands of
+    KB-scale files; at 100 TB that is an operational bug twice over — task
+    scheduling overhead per file on every read, and parquet footer/dict
+    overhead per file on disk. Compaction is the standing maintenance job
+    (lakehouse OPTIMIZE): read everything, coalesce to
+    ceil(bytes / target) files (repartition, not coalesce(1) — the write
+    itself must stay parallel), optionally re-sort so footer min/max
+    stats stay selective after the rewrite, and write to a NEW path (the
+    swap is the caller's atomic step — vanilla parquet has no transaction
+    log to do it in place).
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(src_path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(dst_path)
+    return len(spark.read.parquet(dst_path).inputFiles())

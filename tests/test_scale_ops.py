@@ -121,3 +121,30 @@ def test_zorder_concentrates_2d_box(spark, tmp_path):
     orig = sorted(map(tuple, ev.where(box).collect()))
     back = sorted(map(tuple, spark.read.parquet(z_path).where(box).collect()))
     assert back == orig and len(back) > 0
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    """Compaction must collapse a many-tiny-file layout to the computed
+    target count, keep the write parallel (repartition, not coalesce(1)),
+    and preserve the rows exactly."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.sinks import (
+        compact_files,
+    )
+
+    src, dst = str(tmp_path / "tiny"), str(tmp_path / "compacted")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+    n_out = compact_files(spark, src, dst, target_bytes=64 * 1024)
+    assert 1 <= n_out < 16
+    assert n_out == len(spark.read.parquet(dst).inputFiles())
+    orig = sorted(map(tuple, spark.read.parquet(src).collect()))
+    back = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert back == orig
+    # sort_cols keeps footer stats selective: each output file's k-range
+    # is contiguous after sortWithinPartitions.
+    n2 = compact_files(
+        spark, src, str(tmp_path / "c2"), target_bytes=64 * 1024,
+        sort_cols=["k"],
+    )
+    assert n2 == n_out
