@@ -148,3 +148,33 @@ def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
         sort_cols=["k"],
     )
     assert n2 == n_out
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """The Catalyst Morton key must equal a Python reference bit
+    interleave on a full 32x32 grid — and therefore be bijective on it."""
+    from pyspark.sql import functions as F
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.sinks import (
+        zorder_key,
+    )
+
+    rows = (
+        spark.range(32 * 32)
+        .select(
+            (F.col("id") % 32).alias("a"),
+            (F.col("id") / 32).cast("long").alias("b"),
+        )
+        .select("a", "b", zorder_key("a", "b").alias("z"))
+        .collect()
+    )
+
+    def ref(a, b):
+        out = 0
+        for k in range(16):
+            out |= ((a >> k) & 1) << (2 * k + 1)
+            out |= ((b >> k) & 1) << (2 * k)
+        return out
+
+    assert all(r.z == ref(r.a, r.b) for r in rows)
+    assert len({r.z for r in rows}) == 32 * 32  # bijective on the grid
