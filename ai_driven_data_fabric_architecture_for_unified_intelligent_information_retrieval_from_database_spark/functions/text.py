@@ -114,3 +114,33 @@ LANG_MARKERS: dict[str, list[str]] = {
     "fr": [" le ", " les ", " des "],
     "de": [" der ", " die ", " und "],
 }
+
+
+def quality_score_col() -> Column:
+    """The composite document quality score (length saturation +
+    digit-density penalty, each weighted 0.5) over the ``text`` column —
+    the ONE definition shared by text_quality_score, the curation funnel,
+    and the cluster-representative picker (:data:`SQL_QUALITY_SCORE` is
+    the DuckDB twin).
+
+    translate, not regexp_replace('[0-9]'): a char-class replaceAll is a
+    full-string Java-regex scan, which anti-scales across executor threads
+    (see :func:`normalized_text`); the translate table lookup is
+    equivalent and linear."""
+    n_tokens = token_count()
+    n_chars = F.length("text").cast("long")
+    n_digits = (
+        F.length("text") - F.length(F.translate("text", "0123456789", ""))
+    ).cast("long")
+    digit_ratio = n_digits / F.greatest(n_chars, F.lit(1)).cast("double")
+    return 0.5 * F.least(n_tokens / 50.0, F.lit(1.0)) + 0.5 * (
+        1.0 - digit_ratio
+    )
+
+
+#: DuckDB twin of :func:`quality_score_col` ({t} = the text expression).
+SQL_QUALITY_SCORE = (
+    "(0.5 * LEAST(CAST(LEN(STRING_SPLIT({t}, ' ')) AS BIGINT) / 50.0, 1.0)"
+    " + 0.5 * (1.0 - (LENGTH({t}) - LENGTH(REGEXP_REPLACE({t}, '[0-9]', '', 'g')))"
+    " / CAST(GREATEST(LENGTH({t}), 1) AS DOUBLE)))"
+)

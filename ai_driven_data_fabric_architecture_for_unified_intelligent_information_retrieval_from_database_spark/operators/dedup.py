@@ -20,9 +20,14 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import normalized_text, words_col
+from ..functions.text import (
+    SQL_QUALITY_SCORE,
+    normalized_text,
+    quality_score_col,
+    words_col,
+)
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -227,6 +232,84 @@ def dedup_components(spark, t):
     pairs = _jaccard_pair_df(t).select("a_id", "b_id")
     return min_label_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+        WITH RECURSIVE {_PAIR_CTES},
+        edges AS (
+            SELECT a_id AS a, b_id AS b FROM jpairs
+            UNION ALL
+            SELECT b_id, a_id FROM jpairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(label) AS component
+            FROM reach GROUP BY node
+        ),
+        ranked AS (
+            SELECT c.component, c.doc_id, q.quality,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                                      ORDER BY q.quality DESC, c.doc_id)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+            FROM comp c
+            JOIN (SELECT doc_id,
+                         {SQL_QUALITY_SCORE.format(t='text')} AS quality
+                  FROM documents) q ON c.doc_id = q.doc_id
+        )
+        SELECT component, doc_id AS keep_doc_id, quality AS keep_quality,
+               n_docs
+        FROM ranked WHERE rn = 1
+    """,
+    covers="pipeline: near-dup cluster representative selection "
+    "(keep-BEST-quality per component, not keep-first — the policy a "
+    "curation pipeline actually wants)",
+)
+def dedup_cluster_representatives(spark, t):
+    """One kept document per near-dup cluster, chosen by QUALITY (ties by
+    lowest doc_id) — upgrading keep-first dedup to keep-best: when a
+    template exists in several mutated copies, retain the longest /
+    least-noisy one, not the one with the smallest id.
+
+    Composition entry: connected components over the verified near-dup
+    pair graph (`dedup_components`' min-label propagation) joined with the
+    shared quality score (`text_analysis.quality_score_col`), then one
+    row_number window per component. The window partitions by component
+    label — cluster-sized groups, never corpus-wide. Like the other
+    exact-Jaccard consumers, the ORACLE is quadratic by design (the
+    recursive-CTE ground truth) and the entry is excluded from the bench
+    past sf1; the Spark side scales (LSH candidates + bounded verify).
+    """
+    comp = min_label_components(
+        _jaccard_pair_df(t).select("a_id", "b_id")
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    q = t["documents"].select(
+        "doc_id", quality_score_col().alias("quality")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs", F.count("*").over(Window.partitionBy("component"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality").alias("keep_quality"),
+            "n_docs",
+        )
     )
 
 

@@ -25,7 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from ..functions.text import SQL_NORMALIZED_TEXT, normalized_text, words_col
+from ..functions.text import (
+    SQL_NORMALIZED_TEXT,
+    SQL_QUALITY_SCORE,
+    normalized_text,
+    quality_score_col,
+    words_col,
+)
 from .registry import query
 from .text_analysis import DECONTAM_EVAL_STRIDE, DECONTAM_NGRAM
 
@@ -54,11 +60,7 @@ _STAGES = ["raw", "holdout_split", "lang_en", "quality", "dedup", "decontam"]
                    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
                    (doc_id % {DECONTAM_EVAL_STRIDE} = 0) AS is_eval,
                    (lang = 'en') AS lang_ok,
-                   (0.5 * LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)
-                                / 50.0, 1.0)
-                    + 0.5 * (1.0 - (LENGTH(text)
-                                    - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
-                                   / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)))
+                   {SQL_QUALITY_SCORE.format(t='text')}
                        >= {QUALITY_FLOOR} AS q_ok,
                    MD5({SQL_NORMALIZED_TEXT.format(t='text')}) AS fp
             FROM corpus
@@ -166,14 +168,7 @@ def pipeline_curation_funnel(spark, t):
     corpus = d.select(F.explode(ids).alias("doc_id"), "lang", "text")
     lang_ok = F.col("lang") == "en"
     n_tokens = F.size(words_col()).cast("long")
-    n_chars = F.length("text").cast("long")
-    n_digits = (
-        F.length("text") - F.length(F.translate("text", "0123456789", ""))
-    ).cast("long")
-    digit_ratio = n_digits / F.greatest(n_chars, F.lit(1)).cast("double")
-    q_ok = (
-        0.5 * F.least(n_tokens / 50.0, F.lit(1.0)) + 0.5 * (1.0 - digit_ratio)
-    ) >= QUALITY_FLOOR
+    q_ok = quality_score_col() >= QUALITY_FLOOR
     flags = corpus.select(
         "doc_id",
         words_col().alias("ws"),

@@ -68,6 +68,7 @@ SAMPLE_PRIORITY: list[str] = [
     "layout_zorder_box_read",
     "streaming_static_enrichment",
     "source_schema_evolution",
+    "dedup_cluster_representatives",
     "basket_lift_rules",
     "basket_part_pairs",
     "text_repetition_stats",

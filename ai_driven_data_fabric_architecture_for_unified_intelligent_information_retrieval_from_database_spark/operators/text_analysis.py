@@ -17,6 +17,7 @@ from ..functions.text import (
     LANG_MARKERS,
     SQL_NORMALIZED_TEXT,
     normalized_text,
+    quality_score_col,
     occurrences,
     shingles_expr,
     sql_occurrences,
@@ -153,10 +154,6 @@ def text_quality_score(spark, t):
     n_tokens = token_count()
     n_chars_m = F.length("text").cast("long")
     n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
-    # translate, not regexp_replace('[0-9]'): a char-class replaceAll is a
-    # full-string Java-regex scan, which anti-scales across executor
-    # threads (see functions/text.py::normalized_text); the translate
-    # table lookup is equivalent and linear.
     n_digits = (
         F.length("text") - F.length(F.translate("text", "0123456789", ""))
     ).cast("long")
@@ -166,10 +163,7 @@ def text_quality_score(spark, t):
         n_tokens.alias("n_tokens"),
         (n_nonspace / F.greatest(n_tokens, F.lit(1)).cast("double")).alias("avg_word_len"),
         digit_ratio.alias("digit_ratio"),
-        (
-            0.5 * F.least(n_tokens / 50.0, F.lit(1.0))
-            + 0.5 * (1.0 - digit_ratio)
-        ).alias("quality_score"),
+        quality_score_col().alias("quality_score"),
     )
 
 
