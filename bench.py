@@ -101,6 +101,29 @@ TIMED_CONSTRUCTION = {
     "streaming_tumbling_hourly",   # AvailableNow drain at construction
 }
 
+#: Cells whose Spark/DuckDB comparison is structurally asymmetric: the Spark
+#: number includes durable work (bucketed table writes, a real streaming
+#: engine drained through a durable sink) that the batch-SQL oracle replays
+#: entirely in memory. Disclosed in the emitted JSON as
+#: ``ratio_common_symmetric`` + ``asymmetric_cells`` — the all-cells
+#: ``ratio_common`` is still emitted alongside; this separates, it does not
+#: hide. (dedup_components / graph_pagerank_parts are timed-construction
+#: too, but their construction IS the algorithm on both engines — the
+#: oracle pays the equivalent recursive CTE — so they stay symmetric.)
+ASYMMETRIC_CELLS = {
+    "cdc_merge_incremental": (
+        "two durable bucketed merge writes; oracle merges in memory"
+    ),
+    "streaming_dedup_watermark": (
+        "real incremental streaming engine drained via durable sink; "
+        "oracle is one batch SQL pass"
+    ),
+    "streaming_tumbling_hourly": (
+        "real incremental streaming engine drained via durable sink; "
+        "oracle is one batch SQL pass"
+    ),
+}
+
 
 #: Files per re-chunked table — one scan task per file, every table.
 #: Overridable for paired layout experiments (the rechunk output dir is
@@ -280,6 +303,11 @@ def main() -> None:
             # q1 at sf10 72 s vs 7 s). DuckDB's memory is equally
             # unconstrained, so this is parity, not an advantage.
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+            # Console progress bars write \r-frames into the same stdout
+            # tail the driver parses the final JSON line from (the r07
+            # artifact shows them eating half the 2000-char capture) —
+            # keep the bench's stdout to the two JSON lines.
+            "spark.ui.showConsoleProgress": "false",
         },
     )
 
@@ -448,32 +476,92 @@ def main() -> None:
     common = [q for q in timings if q in duck]
     duck_common = round(sum(duck[q] for q in common), 3) if common else None
     spark_common = round(sum(timings[q] for q in common), 3) if common else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "spread": spread,
-                "untimed_construction_s": untimed_construction,
-                "timed_construction": sorted(TIMED_CONSTRUCTION & set(timings)),
-                "duckdb_reference": {
-                    "queries": duck,
-                    "value_common": duck_common,
-                    "spark_value_common": spark_common,
-                    "ratio_common": (
-                        round(spark_common / duck_common, 2)
-                        if duck_common
-                        else None
-                    ),
-                },
-                "load_avg_start": [round(x, 2) for x in load_start],
-                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+
+    def _ratio(names: list[str]) -> float | None:
+        d = sum(duck[q] for q in names)
+        return round(sum(timings[q] for q in names) / d, 2) if d else None
+
+    # Disclosed timing asymmetry (BASELINE.md footnote discipline, now
+    # machine-readable): cells whose SPARK number includes durable work the
+    # DuckDB oracle replays in memory — both the all-cells ratio and the
+    # ex-asymmetric ratio are emitted, neither replaces the other.
+    symmetric = [q for q in common if q not in ASYMMETRIC_CELLS]
+    evidence = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "spread": spread,
+        "untimed_construction_s": untimed_construction,
+        "timed_construction": sorted(TIMED_CONSTRUCTION & set(timings)),
+        "duckdb_reference": {
+            "queries": duck,
+            "value_common": duck_common,
+            "spark_value_common": spark_common,
+            "ratio_common": _ratio(common) if common else None,
+            "ratio_common_symmetric": _ratio(symmetric) if symmetric else None,
+            "asymmetric_cells": {
+                q: ASYMMETRIC_CELLS[q] for q in common if q in ASYMMETRIC_CELLS
+            },
+        },
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        # Machine-readable floor analysis (BASELINE.md r07 item): cells
+        # under 0.4 s measure Spark's fixed per-job scheduling floor
+        # (~0.1-0.3 s in local mode), not plan quality — their aggregate
+        # is reported so a reader can separate floor-dominated suite mass
+        # from compute-dominated cells without re-deriving it.
+        "floor_cells_under_400ms": {
+            "n": sum(1 for v in timings.values() if v < 0.4),
+            "spark_sum": round(
+                sum(v for v in timings.values() if v < 0.4), 3
+            ),
+            "duck_sum": round(
+                sum(duck[q] for q, v in timings.items()
+                    if v < 0.4 and q in duck), 3
+            ),
+        },
+    }
+    # Full evidence blob: to a FILE plus an early stdout line. The driver
+    # captures only the last ~2000 chars of stdout, so the blob must never
+    # be the final line (the r07 lesson: a 4 KB final line truncated
+    # mid-JSON and the driver recorded parsed=null for the whole round).
+    evidence_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_evidence.json"
     )
+    try:
+        with open(evidence_path, "w") as fh:
+            json.dump(evidence, fh)
+    except OSError:
+        evidence_path = None
+    print(json.dumps(evidence))
+    # Final line: compact and LENGTH-GUARDED — drop precision, then the
+    # queries dict, before ever exceeding the driver's tail capture.
+    compact = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": evidence["sf"],
+        "n_cells": len(timings),
+        "ratio_common": evidence["duckdb_reference"]["ratio_common"],
+        "ratio_common_symmetric": (
+            evidence["duckdb_reference"]["ratio_common_symmetric"]
+        ),
+        "asymmetric_excluded": sorted(
+            q for q in common if q in ASYMMETRIC_CELLS
+        ),
+        "evidence_file": evidence_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(compact)
+    if len(line) > 1800:
+        compact["queries"] = {"_truncated_see": evidence_path}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
