@@ -356,9 +356,14 @@ def copurchase_pair_counts(lineitem=None, min_support: int = 1, baskets=None):
     return out
 
 
-#: Cache for :func:`_partkey_packable`, keyed on the source file list —
-#: the footer probe is cheap (~ms) but bench passes re-run the query.
-_PACKABLE_CACHE: dict[tuple, bool] = {}
+#: Cache for :func:`_partkey_packable`, keyed on the source files'
+#: content signature (path, size, mtime — scale.py's _corpus_digest
+#: discipline), NOT paths alone: a corpus regenerated in place at the
+#: same paths with partkeys >= 2^31 must re-probe, or a stale True
+#: verdict would re-enable the packed-key path and silently corrupt
+#: pairs — exactly the overflow hazard the guard exists to prevent.
+#: The footer probe is cheap (~ms) but bench passes re-run the query.
+_PACKABLE_CACHE: dict[str, bool] = {}
 
 
 def _partkey_packable(lineitem) -> bool:
@@ -375,8 +380,12 @@ def _partkey_packable(lineitem) -> bool:
     files = tuple(sorted(lineitem.inputFiles()))
     # Only file-backed frames are cacheable: an in-memory frame reports
     # no input files, and an empty key would alias every such frame.
+    digest = None
     if files:
-        cached = _PACKABLE_CACHE.get(files)
+        from .scale import _corpus_digest
+
+        digest = _corpus_digest(lineitem)
+        cached = _PACKABLE_CACHE.get(digest)
         if cached is not None:
             return cached
     ok = None
@@ -411,8 +420,8 @@ def _partkey_packable(lineitem) -> bool:
             and row["mn"] >= 0
             and row["mx"] < (1 << 31)
         )
-    if files:
-        _PACKABLE_CACHE[files] = ok
+    if digest is not None:
+        _PACKABLE_CACHE[digest] = ok
     return ok
 
 
@@ -431,15 +440,25 @@ def _lift_into_aqe_off_session(spark, df):
     from pyspark.sql import DataFrame
 
     clone = spark.newSession()
-    for k in (
-        "spark.sql.shuffle.partitions",
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.session.timeZone",
-    ):
+    # Copy the parent's FULL settable SQLConf into the clone, not a
+    # hand-picked key list: newSession() resets runtime-set confs (ANSI
+    # mode, codegen and broadcast-timeout toggles, ...) to builder
+    # defaults, and a clone running the iteration subtree under different
+    # SQL semantics than the rest of the session would be a silent
+    # behavioral fork. getAll via the JVM RuntimeConfig returns the
+    # resolved conf map; non-settable/static keys are skipped.
+    jconf = spark._jsparkSession.conf()
+    it = jconf.getAll().iterator()
+    while it.hasNext():
+        kv = it.next()
+        k, v = kv._1(), kv._2()
+        if not k.startswith("spark.sql."):
+            continue
         try:
-            clone.conf.set(k, spark.conf.get(k))
+            if clone.conf.get(k, None) != v:
+                clone.conf.set(k, v)
         except Exception:
-            pass
+            pass  # static/non-settable conf — clone keeps the default
     clone.conf.set("spark.sql.adaptive.enabled", "false")
     return DataFrame(
         clone._jsparkSession.createDataFrame(

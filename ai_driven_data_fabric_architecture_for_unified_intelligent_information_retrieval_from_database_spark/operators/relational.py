@@ -631,8 +631,11 @@ def _fits_broadcast_counted(spark, df) -> bool:
 #: same borderline slice is probed once, not once per bench pass — the
 #: probe job is untimed but still burned ~0.2-0.3 s of wall clock per
 #: construction at sf10. Keyed on the exprId-normalized optimized plan
-#: plus the size estimate (the estimate tracks the underlying files, so
-#: the same plan text over a different corpus cannot alias).
+#: plus the size estimate PLUS the source files' content signature
+#: (path, size, mtime — scale.py's _corpus_digest): plan text + byte
+#: estimate alone would serve a stale row count for a corpus rewritten
+#: in place at an identical byte size, silently flipping the
+#: broadcast-vs-shuffle choice for the rest of the process (r07 advice).
 _PROBE_COUNT_CACHE: dict[str, int] = {}
 
 
@@ -640,8 +643,14 @@ def _counted_probe(df, plan, est: int) -> int:
     import hashlib
     import re
 
+    from .scale import _corpus_digest
+
     text = re.sub(r"#\d+", "#", plan.toString())
-    key = hashlib.md5(f"{est}\n{text}".encode()).hexdigest()
+    try:
+        src = _corpus_digest(df)
+    except Exception:
+        src = ""
+    key = hashlib.md5(f"{est}\n{src}\n{text}".encode()).hexdigest()
     n = _PROBE_COUNT_CACHE.get(key)
     if n is None:
         n = df.count()

@@ -160,15 +160,25 @@ def compact_files(
     log to do it in place).
     """
     import math
-    import os
 
     df = spark.read.parquet(src_path)
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(src_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    # Size the source through the Hadoop FileSystem API, not os.walk: a
+    # URI-schemed or remote path (file:/, hdfs:, s3a:) walks to nothing
+    # locally, and total=0 would silently compact the whole layout
+    # through repartition(1) — a single-task write of a potentially huge
+    # dataset, the opposite of "the write itself must stay parallel"
+    # (r07 advice). getContentSummary works for every scheme the session
+    # can read.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = int(fs.getContentSummary(jpath).getLength())
+    if total <= 0 and df.inputFiles():
+        raise ValueError(
+            f"compact_files could not size {src_path!r} (0 bytes reported "
+            "for a non-empty layout) — refusing to plan a single-file "
+            "compaction from a bad size estimate"
+        )
     n_out = max(1, math.ceil(total / target_bytes))
     out = df.repartition(n_out)
     if sort_cols:
