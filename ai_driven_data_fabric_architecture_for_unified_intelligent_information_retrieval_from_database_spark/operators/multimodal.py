@@ -113,14 +113,16 @@ DECODE_SCHEMA = (
 
 
 def decode_stub_features(df: DataFrame) -> DataFrame:
-    """'Decode' binary payloads into image-like features via mapInPandas.
-
-    STUB: real pixel decoding needs an imaging library not present in this
-    environment; features here are deterministic functions of the bytes so
-    the full pipeline (binary column -> Arrow batch -> pandas -> typed rows)
-    is exercised end-to-end and oracle-checkable. Swap ``_fake_decode`` for
-    e.g. PIL/libvips in production — the schema, batching, and partitioning
-    are already the real thing.
+    """INTERNAL FALLBACK, not a registered query (r07 verdict: no registry
+    entry may return fabricated features now that :func:`decode_real`
+    exists): deterministic byte-derived pseudo-features for payloads in
+    formats this environment has no codec for (JPEG/PNG/WebP need a
+    library that is not installed). Callers route decodable formats
+    (PNM P5/P6) through :func:`decode_real` and may route the rest here
+    EXPLICITLY — the stub never sits on a correctness-checked path. The
+    Arrow plumbing (binary column -> Arrow batch -> pandas -> typed rows)
+    is identical to the real decoder's, so swapping in PIL/libvips
+    changes only the per-row kernel.
     """
     blob_df = df.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
@@ -141,23 +143,30 @@ def decode_stub_features(df: DataFrame) -> DataFrame:
 
 
 def _make_ppm_kernel():
-    """Build the P6 parser and its mapInPandas kernel as LOCAL closures:
+    """Build the PNM parser and its mapInPandas kernel as LOCAL closures:
     cloudpickle serializes local functions by value, so Python workers
     never need this package importable on their own sys.path (the
     streaming/stateful.py pattern — a module-level function pickles as a
     module reference and raises ModuleNotFoundError on any worker whose
     PYTHONPATH lacks the repo)."""
 
-    def parse_ppm_p6(buf: bytes) -> tuple:
-        """Parse one binary-PPM (P6) image: (width, height, mean pixel
-        byte). Header grammar per the netpbm spec: magic, then three
-        decimal fields (width, height, maxval) separated by whitespace
-        runs with ``#``-to-end-of-line comments allowed BETWEEN fields,
-        then exactly ONE whitespace byte before the raster (the spec
-        allows no comment there — a non-whitespace byte after maxval is
-        rejected loudly rather than misread as raster)."""
-        if buf[:2] != b"P6":
-            raise ValueError(f"not a P6 PPM payload (magic {buf[:2]!r})")
+    def parse_pnm(buf: bytes) -> tuple:
+        """Parse one binary netpbm image — P5 (grayscale, 1 byte/px) or
+        P6 (RGB, 3 bytes/px), dispatched on the magic — into
+        (width, height, channels, mean raster byte). Header grammar per
+        the netpbm spec: magic, then three decimal fields (width, height,
+        maxval) separated by whitespace runs with ``#``-to-end-of-line
+        comments allowed BETWEEN fields, then exactly ONE whitespace byte
+        before the raster (the spec allows no comment there — a
+        non-whitespace byte after maxval is rejected loudly rather than
+        misread as raster)."""
+        magic = buf[:2]
+        if magic == b"P6":
+            channels = 3
+        elif magic == b"P5":
+            channels = 1
+        else:
+            raise ValueError(f"not a P5/P6 PNM payload (magic {magic!r})")
         pos, fields = 2, []
         while len(fields) < 3:
             while pos < len(buf) and buf[pos : pos + 1].isspace():
@@ -180,7 +189,7 @@ def _make_ppm_kernel():
             raise ValueError("16-bit PPM not supported")
         if width < 1 or height < 1:
             raise ValueError(f"zero-dimension image ({width}x{height})")
-        n = width * height * 3
+        n = width * height * channels
         raster = buf[pos : pos + n]
         if len(raster) != n:
             raise ValueError(f"truncated raster: {len(raster)} of {n} bytes")
@@ -191,7 +200,7 @@ def _make_ppm_kernel():
         import numpy as np
 
         px = np.frombuffer(raster, dtype=np.uint8)
-        return width, height, float(int(px.sum(dtype=np.int64))) / n
+        return width, height, channels, float(int(px.sum(dtype=np.int64))) / n
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -200,8 +209,8 @@ def _make_ppm_kernel():
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = bytes(payload)
-                w, h, mean = parse_ppm_p6(buf)
-                rows.append((doc_id, len(buf), w, h, 3, mean))
+                w, h, ch, mean = parse_pnm(buf)
+                rows.append((doc_id, len(buf), w, h, ch, mean))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -210,20 +219,22 @@ def _make_ppm_kernel():
                 ],
             )
 
-    return parse_ppm_p6, decode
+    return parse_pnm, decode
 
 
-_parse_ppm_p6, _PPM_DECODE_KERNEL = _make_ppm_kernel()
+_parse_pnm, _PPM_DECODE_KERNEL = _make_ppm_kernel()
 
 
 def decode_real(df: DataFrame) -> DataFrame:
     """REAL image decode over a binary payload column — pure-numpy parsing
-    of binary PPM (P6), the uncompressed netpbm interchange format, so the
-    decode stage needs no imaging library at all. Output schema is
-    :data:`DECODE_SCHEMA` (mean_intensity is the true mean over every
-    pixel byte of the raster). Compressed formats (JPEG/PNG/WebP) still
-    require a codec library not present in this environment — they plug
-    into this same iterator by replacing :func:`_parse_ppm_p6`.
+    of binary netpbm images, dispatched on the magic bytes (P5 grayscale /
+    P6 RGB), so the decode stage needs no imaging library at all. Output
+    schema is :data:`DECODE_SCHEMA` (mean_intensity is the true mean over
+    every pixel byte of the raster; channels reports the decoded format).
+    Compressed formats (JPEG/PNG/WebP) still require a codec library not
+    present in this environment — route those payloads through
+    :func:`decode_stub_features` explicitly, or plug a codec into this
+    same iterator by extending :func:`_parse_pnm`.
 
     Per-image Python is inherent to decoding (a PIL/libvips call is
     per-image too); the batch loop stays Arrow-fed and the per-image heavy
@@ -301,26 +312,69 @@ def multimodal_decode_ppm_real(spark, t):
     )
 
 
+def pnm_payload() -> F.Column:
+    """A mixed-format binary-PNM payload: even doc_ids carry P6 (RGB),
+    odd doc_ids carry P5 (grayscale) — same width formula as
+    :func:`ppm_payload`, raster chars scaled by the channel count. Built
+    JVM-side; ASCII text encodes 1:1 to raster bytes (non-ASCII is
+    rejected by the decoder's exact-length check, as for P6)."""
+    w = (F.length("text") % 13 + 4).cast("int")
+    ch_sql = "(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)"
+    magic = F.when(F.col("doc_id") % 2 == 0, F.lit("P6")).otherwise(F.lit("P5"))
+    header = F.concat(
+        magic, F.lit("\n"), w.cast("string"), F.lit(f" {PPM_HEIGHT}\n255\n")
+    )
+    nchars = f"(length(text) % 13 + 4) * {PPM_HEIGHT} * {ch_sql}"
+    raster = F.expr(f"rpad(substring(text, 1, {nchars}), {nchars}, ' ')")
+    return F.concat(F.encode(header, "UTF-8"), F.encode(raster, "UTF-8"))
+
+
 @query(
-    "multimodal_decode_features",
-    oracle="""
+    "multimodal_decode_pnm_dispatch",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   LENGTH(text) % 13 + 4 AS w,
+                   CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+                   text
+            FROM documents
+        ), p AS (
+            SELECT doc_id, w, ch,
+                   RPAD(SUBSTRING(text, 1, w * {PPM_HEIGHT} * ch),
+                        CAST(w * {PPM_HEIGHT} * ch AS INT), ' ') AS px
+            FROM g
+        )
         SELECT doc_id,
-               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
-               CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INT) AS width,
-               CAST(OCTET_LENGTH(ENCODE(text)) * 7 % 480 + 1 AS INT) AS height,
-               3 AS channels,
-               -- text is ASCII, so byte values == code points
-               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEAST(LENGTH(text), 64) + 1),
-                                       i -> ASCII(SUBSTRING(text, i, 1)))) / 64.0
-                   AS mean_intensity
-        FROM documents
+               CAST(LENGTH('P6' || CHR(10) || w || ' {PPM_HEIGHT}' || CHR(10)
+                           || '255' || CHR(10)) + w * {PPM_HEIGHT} * ch
+                    AS BIGINT) AS n_bytes,
+               CAST(w AS INT) AS width,
+               {PPM_HEIGHT} AS height,
+               CAST(ch AS INT) AS channels,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, w * {PPM_HEIGHT} * ch + 1),
+                                       i -> ASCII(SUBSTRING(px, i, 1))))
+                   / CAST(w * {PPM_HEIGHT} * ch AS DOUBLE) AS mean_intensity
+        FROM p
     """,
-    covers="pipeline: multimodal decode stage (mapInPandas, Arrow-batched; stubbed pixels)",
+    covers="pipeline: multimodal decode stage with FORMAT DISPATCH — a "
+    "mixed P5(grayscale)/P6(RGB) corpus decoded for real by magic-byte "
+    "routing in one Arrow-batched kernel (replaces the retired "
+    "fabricated-feature stub entry, r07 verdict item 3)",
 )
-def multimodal_decode_features(spark, t):
-    """The decode stage as a registered query — proves the Pandas-UDF
-    plumbing produces typed, deterministic, oracle-matching output."""
-    return decode_stub_features(t["documents"])
+def multimodal_decode_pnm_dispatch(spark, t):
+    """Format-dispatched REAL decode: a corpus mixing two binary image
+    formats (P5 grayscale for odd doc_ids, P6 RGB for even) goes through
+    ONE decode stage that routes on magic bytes — the shape of a
+    production multimodal ingest, where a single binary column carries
+    heterogeneous formats. Channels (1 vs 3) and true raster means are
+    verified against the oracle's independent per-format reconstruction.
+
+    The P6 magic in the oracle's n_bytes expression is length-equivalent
+    for P5 ('P5'/'P6' are both 2 chars), so one expression serves both.
+    """
+    return decode_real(
+        t["documents"].select("doc_id", pnm_payload().alias("payload"))
+    )
 
 
 RESIZE_SCHEMA = (

@@ -125,7 +125,7 @@ def test_minhash_lsh_single_scan(spark):
 
 
 def test_multimodal_decode_is_arrow_batched(spark):
-    plan = plan_of(spark, "multimodal_decode_features")
+    plan = plan_of(spark, "multimodal_decode_pnm_dispatch")
     assert "MapInPandas" in plan, plan[:1500]
 
 

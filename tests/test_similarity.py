@@ -52,48 +52,65 @@ def test_bucketed_ann_candidates_within_probe_radius(spark):
     )
 
 
-def test_multimodal_decode_stub_deterministic(spark):
-    q = queries()["multimodal_decode_features"]
+def test_multimodal_decode_dispatch_routes_formats(spark):
+    """The dispatch entry decodes a mixed P5/P6 corpus: odd doc_ids come
+    back grayscale (1 channel), even RGB (3), deterministically."""
+    q = queries()["multimodal_decode_pnm_dispatch"]
     r1 = sorted(tuple(r) for r in q(spark, SF_ORACLE).collect())
     r2 = sorted(tuple(r) for r in q(spark, SF_ORACLE).collect())
     assert r1 == r2
-    assert all(r[2] >= 1 and r[3] >= 1 and r[4] == 3 for r in r1)
+    assert all(r[4] == (3 if r[0] % 2 == 0 else 1) for r in r1)
+    assert all(r[2] >= 1 and r[3] >= 1 for r in r1)
+
+
+def test_decode_stub_is_not_registered():
+    """r07 verdict item 3: no registry entry may return fabricated
+    features — the stub survives only as an explicit internal fallback."""
+    assert "multimodal_decode_features" not in queries()
+    assert not any("stub" in name for name in queries())
 
 
 def test_ppm_parser_header_grammar():
-    """The real decoder handles the full netpbm P6 header grammar —
-    comments, multi-digit dims, arbitrary whitespace — and rejects
-    malformed payloads loudly rather than mis-decoding."""
+    """The real decoder handles the full netpbm header grammar — magic
+    dispatch (P5/P6), comments, multi-digit dims, arbitrary whitespace —
+    and rejects malformed payloads loudly rather than mis-decoding."""
     import pytest
 
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.multimodal import (
-        _parse_ppm_p6,
+        _parse_pnm,
     )
 
     raster = bytes(range(2 * 3 * 3))  # 2x3 RGB, bytes 0..17
-    w, h, mean = _parse_ppm_p6(b"P6\n2 3\n255\n" + raster)
-    assert (w, h) == (2, 3) and mean == sum(range(18)) / 18
+    w, h, ch, mean = _parse_pnm(b"P6\n2 3\n255\n" + raster)
+    assert (w, h, ch) == (2, 3, 3) and mean == sum(range(18)) / 18
     # Comments and whitespace runs anywhere whitespace is allowed.
-    w, h, mean2 = _parse_ppm_p6(
+    w, h, ch, mean2 = _parse_pnm(
         b"P6 # comment\n # more\n 2\t\n3 # dims done\n255 " + raster
     )
-    assert (w, h, mean2) == (2, 3, mean)
+    assert (w, h, ch, mean2) == (2, 3, 3, mean)
     big = b"P6\n12 10\n255\n" + bytes(360)
-    assert _parse_ppm_p6(big)[:2] == (12, 10)
-    with pytest.raises(ValueError, match="not a P6"):
-        _parse_ppm_p6(b"P5\n2 3\n255\n" + raster)
+    assert _parse_pnm(big)[:2] == (12, 10)
+    # P5 grayscale: 1 byte per pixel, channels=1.
+    gray = bytes(range(6))
+    assert _parse_pnm(b"P5\n2 3\n255\n" + gray) == (2, 3, 1, sum(range(6)) / 6)
+    with pytest.raises(ValueError, match="not a P5/P6"):
+        _parse_pnm(b"P4\n2 3\n" + raster)
     with pytest.raises(ValueError, match="truncated"):
-        _parse_ppm_p6(b"P6\n2 3\n255\n" + raster[:-1])
+        _parse_pnm(b"P6\n2 3\n255\n" + raster[:-1])
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_pnm(b"P5\n2 3\n255\n" + gray[:-1])
     with pytest.raises(ValueError, match="16-bit"):
-        _parse_ppm_p6(b"P6\n2 3\n65535\n" + raster * 2)
+        _parse_pnm(b"P6\n2 3\n65535\n" + raster * 2)
     # The spec allows NO comment between maxval and the raster — reject
     # rather than silently reading comment bytes as pixels (review r07).
     with pytest.raises(ValueError, match="whitespace after maxval"):
-        _parse_ppm_p6(b"P6\n2 3\n255#c\n" + raster)
+        _parse_pnm(b"P6\n2 3\n255#c\n" + raster)
     with pytest.raises(ValueError, match="zero-dimension"):
-        _parse_ppm_p6(b"P6\n0 3\n255\n")
+        _parse_pnm(b"P6\n0 3\n255\n")
     with pytest.raises(ValueError, match="trailing bytes"):
-        _parse_ppm_p6(b"P6\n2 3\n255\n" + raster + b"\n")
+        _parse_pnm(b"P6\n2 3\n255\n" + raster + b"\n")
+    with pytest.raises(ValueError, match="trailing bytes"):
+        _parse_pnm(b"P5\n2 3\n255\n" + gray + b"\n")
 
 
 def test_multimodal_decode_real_roundtrip(spark):
@@ -272,22 +289,24 @@ def test_flip1_probe_recall_exceeds_home_bucket_alone(spark):
 
 
 def test_ppm_parser_roundtrip_fuzz():
-    """Property: any (w, h, raster) synthesized per the P6 grammar — with
-    random comment/whitespace noise in the header — parses back to exactly
-    (w, h, mean(raster)). Deterministic seed, no Spark."""
+    """Property: any (magic, w, h, raster) synthesized per the P5/P6
+    grammar — with random comment/whitespace noise in the header — parses
+    back to exactly (w, h, channels, mean(raster)). Deterministic seed,
+    no Spark."""
     import random
 
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.multimodal import (
-        _parse_ppm_p6,
+        _parse_pnm,
     )
 
     rng = random.Random(20260815)
     for _ in range(200):
+        magic, nch = rng.choice([(b"P6", 3), (b"P5", 1)])
         w, h = rng.randint(1, 40), rng.randint(1, 40)
-        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        raster = bytes(rng.randrange(256) for _ in range(w * h * nch))
         ws = lambda: rng.choice([b" ", b"\n", b"\t", b" \n ", b"#junk 1 2\n"])
-        header = b"P6" + ws() + str(w).encode() + ws() + str(h).encode()
+        header = magic + ws() + str(w).encode() + ws() + str(h).encode()
         header += ws() + b"255\n"
-        got_w, got_h, mean = _parse_ppm_p6(header + raster)
-        assert (got_w, got_h) == (w, h)
-        assert mean == sum(raster) / (w * h * 3)
+        got_w, got_h, got_ch, mean = _parse_pnm(header + raster)
+        assert (got_w, got_h, got_ch) == (w, h, nch)
+        assert mean == sum(raster) / (w * h * nch)

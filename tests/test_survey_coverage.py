@@ -124,3 +124,24 @@ def test_sample_priority_names_are_registered():
     missing = [n for n in SAMPLE_PRIORITY if n not in REGISTRY]
     assert not missing, missing
     assert len(set(SAMPLE_PRIORITY)) == len(SAMPLE_PRIORITY), "duplicates"
+
+
+def test_readme_operator_table_matches_registry():
+    """The README's generated operator table must carry exactly one row
+    per registered query and state the final count (the r07 narrative
+    briefly claimed 157 while the registry held 161 — drift now fails
+    CI; regenerate with tools/gen_readme_table.py)."""
+    import os
+    import re
+
+    _ensure_loaded()
+    here = os.path.dirname(os.path.abspath(__file__))
+    readme = open(os.path.join(here, os.pardir, "README.md")).read()
+    section = readme.split("## Operator coverage (generated from the registry)")[1]
+    section = section.split("\n## ")[0]
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \|", section, flags=re.M)
+    assert sorted(rows) == sorted(REGISTRY), (
+        f"README table has {len(rows)} rows, registry has {len(REGISTRY)}"
+    )
+    m = re.search(r"(\d+) registered queries", section)
+    assert m and int(m.group(1)) == len(REGISTRY)
