@@ -59,7 +59,9 @@ _CHANGES_SQL = """
         FROM merged GROUP BY status
     """,
     covers="expansion: MERGE/upsert application (CDC apply via full-outer "
-    "join — insert + update + delete in one keyed pass)",
+    "join — insert + update + delete in one keyed pass; COLD-START / "
+    "full-rewrite path — steady state routes to cdc_merge_incremental "
+    "or cdc_merge_pruned)",
 )
 def cdc_merge_apply(spark, t):
     """Apply a change feed (inserts, updates, deletes) onto a snapshot in
@@ -67,6 +69,14 @@ def cdc_merge_apply(spark, t):
     lakehouse MERGE INTO executes (connectors.py documents the delta/
     iceberg jar limit; this is the engine-level shape those formats
     optimize with file skipping).
+
+    ROUTING (r07 verdict item 4): this one-shot form re-shuffles BOTH
+    sides at corpus grain and is the COLD-START / full-rewrite path only
+    — first materialization of a target, or a feed so large the whole
+    table moves anyway. Steady-state merges route to
+    :func:`cdc_merge_incremental` (bucketed target, zero-exchange
+    snapshot side) or :func:`cdc_merge_pruned` (partitioned target,
+    only touched partitions join).
 
     The snapshot full-outer-joins the change feed on the key: matched 'U'
     rows take the change's values, matched 'D' rows are dropped,
@@ -239,6 +249,147 @@ def cdc_merge_incremental(spark, t):
     return v2.groupBy("status").agg(
         F.count("*").alias("n_orders"),
         stable_sum("price").alias("total_price"),
+    )
+
+
+@query(
+    "cdc_merge_pruned",
+    oracle=f"""
+        WITH snapshot AS (
+            SELECT o_orderkey AS key, o_totalprice AS price,
+                   o_orderstatus AS status,
+                   EXTRACT(YEAR FROM o_orderdate) AS yr
+            FROM orders
+        ),
+        feed AS (
+            SELECT o_orderkey AS key, 'U' AS op,
+                   o_totalprice + 100.0 AS price, 'U' AS status
+            FROM orders
+            WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND o_orderkey % 10 = 3
+            UNION ALL
+            SELECT o_orderkey AS key, 'D' AS op,
+                   CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status
+            FROM orders
+            WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND o_orderkey % 10 = 7
+            UNION ALL
+            SELECT o_orderkey + 1000000000 AS key, 'I' AS op,
+                   o_totalprice AS price, 'N' AS status
+            FROM orders
+            WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND o_orderkey % 10 = 1
+        ),
+        touched AS (
+            SELECT key, price, status FROM snapshot WHERE yr = 1997
+        ),
+        merged AS (
+            SELECT COALESCE(c.key, s.key) AS key,
+                   CASE WHEN c.op IN ('U', 'I') THEN c.price
+                        ELSE s.price END AS price,
+                   CASE WHEN c.op IN ('U', 'I') THEN c.status
+                        ELSE s.status END AS status
+            FROM touched s FULL OUTER JOIN feed c ON s.key = c.key
+            WHERE c.op IS NULL OR c.op <> 'D'
+        ),
+        post AS (
+            SELECT key, price, status FROM snapshot WHERE yr <> 1997
+            UNION ALL
+            SELECT key, price, status FROM merged
+        )
+        SELECT status, COUNT(*) AS n_orders,
+               {sql_stable_sum('price')} AS total_price
+        FROM post GROUP BY status
+    """,
+    covers="expansion: PARTITION-PRUNED MERGE — the steady-state 100 TB "
+    "upsert for a partitioned target: only partitions containing feed "
+    "keys join/exchange (PartitionFilters-gated scan), untouched "
+    "partitions never enter the merge",
+)
+def cdc_merge_pruned(spark, t):
+    """MERGE against a PARTITIONED snapshot where the change feed is
+    localized (here: late-arriving changes to 1997 orders — the common
+    production shape, deltas touch recent partitions): the snapshot is
+    laid out once per corpus partitioned by order year
+    (sources/sinks.py::write_partitioned via the shared digest-keyed
+    layout cache), and the merge's full-outer join reads ONLY the
+    touched partition — the year predicate lands in the scan's
+    PartitionFilters (plan-gated in tests/test_scale_ops.py), so
+    untouched years are never opened by the join, let alone exchanged.
+
+    This is the file-skipping shape a lakehouse MERGE INTO executes
+    (connectors.py documents the delta/iceberg jar limit): batch cost is
+    O(|touched partitions| + |delta|), not O(|snapshot|). Routing across
+    the three CDC forms:
+
+    - :func:`cdc_merge_pruned` — steady state for a PARTITIONED target
+      with localized feeds (this entry);
+    - :func:`cdc_merge_incremental` — steady state for a BUCKETED target
+      when feeds scatter across the key space (zero-exchange snapshot
+      side, only the delta shuffles);
+    - :func:`cdc_merge_apply` — cold start / full-rewrite only (both
+      sides exchange at corpus grain every batch).
+
+    The output rollup unions the untouched partitions back in (scan +
+    partial agg, no join) so the oracle verifies the WHOLE post-merge
+    table, not just the touched slice."""
+    from ..sources.sinks import write_partitioned
+    from .scale import _cached_layout, _corpus_digest
+
+    o = t["orders"]
+    snap = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    digest = _corpus_digest(o)
+    path = _cached_layout(
+        "/tmp/cdc_orders_by_year_cache",
+        digest,
+        "orders_by_year",
+        lambda p: write_partitioned(snap, p, ["o_year"]),
+    )
+    snap_t = spark.read.parquet(path)
+
+    o97 = o.where(F.year("o_orderdate") == 1997)
+    feed = (
+        o97.where(F.col("o_orderkey") % 10 == 3)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 100.0).alias("price"),
+            F.lit("U").alias("status"),
+        )
+        .unionAll(
+            o97.where(F.col("o_orderkey") % 10 == 7).select(
+                F.col("o_orderkey").alias("key"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(None).cast("string").alias("status"),
+            )
+        )
+        .unionAll(
+            o97.where(F.col("o_orderkey") % 10 == 1).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("key"),
+                F.lit("I").alias("op"),
+                F.col("o_totalprice").alias("price"),
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+
+    touched = snap_t.where(F.col("o_year") == 1997).select(
+        "key", "price", "status"
+    )
+    untouched = snap_t.where(F.col("o_year") != 1997).select(
+        "key", "price", "status"
+    )
+    merged = _merge_batch(touched, feed)
+    return (
+        untouched.unionByName(merged)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            stable_sum("price").alias("total_price"),
+        )
     )
 
 

@@ -413,24 +413,37 @@ def resize_stub(decoded: DataFrame) -> DataFrame:
     oracle=f"""
         WITH d AS (
             SELECT doc_id,
-                   CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS INT) AS width,
-                   CAST(OCTET_LENGTH(ENCODE(text)) * 7 % 480 + 1 AS INT) AS height
+                   CAST(LENGTH(text) % 13 + 4 AS INT) AS width,
+                   CAST({PPM_HEIGHT} AS INT) AS height
             FROM documents
         )
         SELECT doc_id, width, height,
-               GREATEST(CAST(ROUND(width * ({TARGET_EDGE}.0 / GREATEST(width, height)))
-                             AS INT), 1) AS out_width,
-               GREATEST(CAST(ROUND(height * ({TARGET_EDGE}.0 / GREATEST(width, height)))
-                             AS INT), 1) AS out_height,
+               CAST(GREATEST(ROUND(width * ({TARGET_EDGE}.0
+                                            / GREATEST(width, height))), 1)
+                    AS INT) AS out_width,
+               CAST(GREATEST(ROUND(height * ({TARGET_EDGE}.0
+                                             / GREATEST(width, height))), 1)
+                    AS INT) AS out_height,
                {TARGET_EDGE}.0 / GREATEST(width, height) AS scale
         FROM d
     """,
-    covers="pipeline: multimodal resize stage (chained mapInPandas, aspect-preserving)",
+    covers="pipeline: multimodal resize stage (chained mapInPandas over "
+    "REAL decoded dimensions, aspect-preserving)",
 )
 def multimodal_resize_plan(spark, t):
     """Decode -> resize as two chained Arrow-batched stages (the schema
-    handoff between Pandas-UDF stages is the part worth proving)."""
-    return resize_stub(decode_stub_features(t["documents"])).drop("n_bytes")
+    handoff between Pandas-UDF stages is the part worth proving). Since
+    r08 the upstream stage is the REAL P6 decoder over JVM-synthesized
+    payloads — the resize plan operates on genuinely parsed dimensions,
+    not byte-derived pseudo-dims (r07 verdict item 3). No rounding-mode
+    hazard in the oracle compare: with height fixed at {PPM_HEIGHT} and
+    width in 4..16, no scaled edge lands on a .5 (pandas rounds
+    half-even, SQL half-away — they'd diverge exactly there)."""
+    return resize_stub(
+        decode_real(
+            t["documents"].select("doc_id", ppm_payload().alias("payload"))
+        )
+    )
 
 
 FRAME_BYTES = 256

@@ -46,80 +46,73 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: regardless).  Round-window history lives in README.md ("Correctness window
 #: rotation").
 #:
-#: Round 7 window (r06 verdict task 7: the r06 window never rotated, so
-#: ~104 entries had not been driver-re-verified since r05 or earlier).
-#: Composition per the standing churn-first rule, then the
-#: longest-unverified tail:
-#: 1. everything round 7 TOUCHED — the repetition-stats per-row rewrite
-#:    (values could move only via in-doc 64-bit hash collisions, so the
-#:    driver must re-verify), the rebuilt PageRank (guarded pack, cloned
-#:    AQE-off session, vectorized support filter), the new incremental
-#:    CDC target plus the refactored cdc_merge_apply and
-#:    bucketed_join_revenue (shared ensure helper), and the
-#:    probe-cache-affected cost-chosen joins (q3/q5/q22/q4/join_star);
-#: 2. the 36 entries whose last driver check was r01/r02 (the oldest
-#:    tail: nl_* planner queries, scalar-function packs, similarity,
-#:    events/temporal, text head).
+#: Round 8 window (r07 verdict task 5: front the longest-unverified tail).
+#: Composition per the standing churn-first rule:
+#: 1. everything round 8 TOUCHED — the new partition-pruned CDC merge,
+#:    the new P5/P6 format-dispatch decoder (replaces the retired
+#:    fabricated-feature stub entry), and PageRank (its packed-key cache
+#:    key and AQE-off clone conf propagation both changed);
+#: 2. the 6 entries that fell off the r07 50-entry window (last green
+#:    r02) and the 35 entries last driver-checked in r03 — after this
+#:    window no entry's last driver check is older than r04, and the 29
+#:    r04 entries rotate in next round;
+#: 3. padding to 50 with the oldest r04 head.
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # --- round-7 churn ---
-    "pipeline_curation_funnel",
-    "multimodal_decode_ppm_real",
-    "layout_zorder_box_read",
-    "streaming_static_enrichment",
-    "source_schema_evolution",
-    "dedup_cluster_representatives",
-    "basket_lift_rules",
-    "basket_part_pairs",
-    "text_repetition_stats",
+    # --- round-8 churn ---
+    "cdc_merge_pruned",
+    "multimodal_decode_pnm_dispatch",
     "graph_pagerank_parts",
-    "cdc_merge_incremental",
-    "cdc_merge_apply",
-    "bucketed_join_revenue",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q4_order_priority",
-    "tpch_q22_global_sales_opportunity",
-    "join_star_flagship",
-    "streaming_tumbling_hourly",  # newly benched streaming drain
-    "streaming_dedup_watermark",
-    # --- longest-unverified (last green in r01/r02) ---
-    "nl_revenue_by_region",
-    "nl_revenue_by_segment",
-    "nl_top_customers",
-    "nl_orders_by_year",
-    "nl_avg_order_value_by_segment",
-    "nl_count_suppliers",
-    "nl_docs_by_language",
-    "nl_longest_documents",
-    "nl_events_by_hour",
-    "nl_events_by_type",
-    "nl_most_active_users",
-    "date_functions",
-    "agg_variance_stddev",
-    "agg_percentiles",
-    "string_functions",
-    "conditional_null_functions",
-    "join_full_outer",
-    "tpch_q12_ship_priority_counts",
-    "tpch_q16_supplier_relationship_count",
-    "tpch_q20_dominant_part_suppliers",
-    "similarity_bruteforce_topk",
-    "similarity_topk_per_query",
-    "similarity_threshold_pairs",
-    "similarity_ivf_ann",
-    "events_json_extract",
-    "events_sliding_window",
-    "events_sessionize",
-    "events_dedup_latest_state",
-    "events_json_schema_parse",
-    "asof_join_event_signup",
+    # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",
-    "windowed_event_rate",
-    "timeseries_gap_fill",
+    "text_lang_id",
     "text_token_count",
     "text_word_frequency",
-    "text_lang_id",
+    "timeseries_gap_fill",
+    "windowed_event_rate",
+    # --- last driver-checked r03 ---
+    "agg_approx_sketches",
+    "agg_string_concat_per_group",
+    "array_functions_embeddings",
+    "grouping_cube",
+    "grouping_rollup",
+    "multimodal_byte_stats",
+    "multimodal_chunking",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "pivot_status_by_priority",
+    "sampling_deterministic_split",
+    "set_union_by_name",
+    "similarity_sign_lsh_buckets",
+    "skew_salted_group_count",
+    "skew_salted_join",
+    "streaming_daily_rollup",
+    "streaming_sessionize",
+    "streaming_view_purchase_join",
+    "text_bpe_token_estimate",
+    "text_fuzzy_name_pairs",
+    "text_shingle_stats",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_part_values",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_type_profit",
+    "window_first_last_value",
+    "window_ntile_percent_rank",
+    # --- oldest r04 head (padding to 50) ---
+    "dedup_exact",
+    "dedup_normalized_groups",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "events_retention_cohorts",
+    "lateral_topn_per_order",
+    "events_path_trigrams",
 ]
 
 

@@ -88,6 +88,10 @@ HEADLINE = [
     # filter, normalized dedup, and decontamination over one corpus scan
     # + one fp exchange + one broadcast anti-join).
     "pipeline_curation_funnel",
+    # round-8: the steady-state partitioned-target MERGE (only touched
+    # partitions join; the once-per-corpus partitioned layout write is
+    # untimed construction, same contract as bucketed_join_revenue).
+    "cdc_merge_pruned",
 ]
 
 #: Cells whose construction DOES the work (eager checkpoints, bucketed

@@ -274,6 +274,19 @@ def test_partitioned_read_prunes_partitions(spark):
     assert "2024-01-10" in pf[0] or "19732" in pf[0], pf[0]
 
 
+def test_cdc_merge_pruned_joins_only_touched_partition(spark):
+    """The partition-pruned MERGE's join subtree must read the snapshot
+    through a PartitionFilters-gated scan (o_year = 1997) — untouched
+    years reach the final rollup via a separate no-join scan, so the
+    merge exchange is O(|touched| + |delta|), never O(|snapshot|)."""
+    plan = plan_of(spark, "cdc_merge_pruned")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # Two partitioned scans: the touched (= 1997) and untouched (<> 1997)
+    # sides; BOTH predicates must be partition filters, not data filters.
+    assert any("= 1997" in l for l in pf), plan[:3000]
+    assert any(("NOT" in l or "!=" in l or "<>" in l) and "1997" in l for l in pf), pf
+
+
 def test_q18_joins_are_all_broadcast(spark):
     """Q18's only exchange should be the lineitem rollup: the tiny HAVING
     survivor set broadcasts into orders, and that result broadcasts into

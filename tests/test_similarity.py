@@ -310,3 +310,21 @@ def test_ppm_parser_roundtrip_fuzz():
         got_w, got_h, got_ch, mean = _parse_pnm(header + raster)
         assert (got_w, got_h, got_ch) == (w, h, nch)
         assert mean == sum(raster) / (w * h * nch)
+
+
+def test_decode_stub_fallback_is_deterministic(spark):
+    """The unregistered stub fallback (for formats with no codec in this
+    environment) still produces typed, deterministic output through the
+    same Arrow plumbing as the real decoder."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.multimodal import (
+        decode_stub_features,
+    )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_views,
+    )
+
+    docs = register_views(spark, SF_ORACLE)["documents"].limit(50)
+    r1 = sorted(tuple(r) for r in decode_stub_features(docs).collect())
+    r2 = sorted(tuple(r) for r in decode_stub_features(docs).collect())
+    assert r1 == r2 and len(r1) == 50
+    assert all(r[2] >= 1 and r[3] >= 1 and r[4] == 3 for r in r1)
