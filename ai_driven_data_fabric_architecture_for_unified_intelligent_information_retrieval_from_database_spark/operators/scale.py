@@ -374,6 +374,42 @@ def _cached_layout(root: str, digest: str, leaf: str, write_fn) -> str:
     return path
 
 
+_EXIT_CLEANUP_WAREHOUSES: set[str] = set()
+
+
+def _register_exit_cleanup(warehouse: str) -> None:
+    """Remove THIS process's token-suffixed warehouse tables at interpreter
+    exit (r07 verdict item 6: every exited pytest/bench/driver process left
+    its bk_*/cdc_* dirs behind, waiting for some FUTURE process to age-prune
+    them — 26 leftover dirs after one working day). The metastore is
+    per-session, so the directories are the only persistent state; rmtree
+    is the complete cleanup. The 1h age-prune in
+    :func:`prepare_table_location` stays as the backstop for SIGKILLed
+    processes, and derby.log/metastore_db residue in the cwd is removed
+    best-effort alongside."""
+    if warehouse in _EXIT_CLEANUP_WAREHOUSES:
+        return
+    _EXIT_CLEANUP_WAREHOUSES.add(warehouse)
+    import atexit
+    import glob
+    import os
+    import shutil
+
+    token = _session_token()
+
+    def _cleanup(warehouse=warehouse, token=token) -> None:
+        for d in glob.glob(os.path.join(warehouse, f"*_{token}")):
+            shutil.rmtree(d, ignore_errors=True)
+        for residue in ("derby.log", "metastore_db"):
+            p = os.path.join(os.getcwd(), residue)
+            try:
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+            except OSError:
+                pass
+
+    atexit.register(_cleanup)
+
+
 def _session_token() -> str:
     """Per-process suffix for warehouse table names: two concurrent
     sessions sharing the repo-local warehouse can never write (or delete)
@@ -463,6 +499,7 @@ def prepare_table_location(spark, table: str, family_prefix: str) -> None:
     from urllib.parse import urlparse
 
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _register_exit_cleanup(warehouse)
     location = f"{warehouse}/{table.lower()}"
     if os.path.isdir(location) and not spark.catalog.tableExists(table):
         shutil.rmtree(location)

@@ -178,3 +178,41 @@ def test_zorder_key_matches_reference_interleave(spark):
 
     assert all(r.z == ref(r.a, r.b) for r in rows)
     assert len({r.z for r in rows}) == 32 * 32  # bijective on the grid
+
+
+def test_warehouse_tables_removed_at_process_exit(tmp_path):
+    """A process that writes per-token warehouse tables must remove them at
+    interpreter exit (r07 verdict: exited pytest/bench runs accumulated
+    bk_*/cdc_* dirs for future sessions to age-prune). Run a child python
+    that creates a bucketed table, let it exit cleanly, and assert its
+    token left nothing behind."""
+    import os
+    import subprocess
+    import sys
+
+    wh = tmp_path / "wh"
+    script = f"""
+import sys; sys.path.insert(0, {os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.warehouse.dir", {str(wh)!r})
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
+    _session_token, ensure_bucketed_table,
+)
+df = spark.range(100).selectExpr("id AS key", "id * 2 AS v")
+ensure_bucketed_table(spark, f"bk_exittest_deadbeef_{{_session_token()}}", df, "key", "deadbeef")
+assert any(d.startswith("bk_exittest") for d in __import__("os").listdir({str(wh)!r}))
+print("TOKEN=" + _session_token())
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    token = [l for l in out.stdout.splitlines() if l.startswith("TOKEN=")][0][6:]
+    leftovers = [d for d in os.listdir(wh) if d.endswith(token)]
+    assert not leftovers, leftovers
