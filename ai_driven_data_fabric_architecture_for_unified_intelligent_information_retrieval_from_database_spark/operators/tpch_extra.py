@@ -206,6 +206,14 @@ def tpch_q8(spark, t):
     as its single exchange (measured 2.25 s -> 1.40 s at sf10); past the
     threshold the orderkey/custkey shuffle joins take over (the 100 TB
     shape).
+
+    r08 audit (tools/q8_ab.py, sf10 interleaved min-of-3): the Q13
+    pre-aggregate-before-exchange recipe was tried and REJECTED — rolling
+    the PROMO slice to (orderkey, supp_nation) grain is 1.7x slower
+    because the slice is ~1 row/key already, and an explicit pre-exchange
+    rollup is plan-identical to what codegen's partial agg does. The
+    residual ~2.3x vs DuckDB is the serial qual-slice broadcast build +
+    scan floor (q4's audited floor family; q3/q5 share it).
     """
     l, p, s, o, c = t["lineitem"], t["part"], t["supplier"], t["orders"], t["customer"]
     n1 = t["nation"].select(
