@@ -275,16 +275,19 @@ def test_partitioned_read_prunes_partitions(spark):
 
 
 def test_cdc_merge_pruned_joins_only_touched_partition(spark):
-    """The partition-pruned MERGE's join subtree must read the snapshot
-    through a PartitionFilters-gated scan (o_year = 1997) — untouched
-    years reach the final rollup via a separate no-join scan, so the
-    merge exchange is O(|touched| + |delta|), never O(|snapshot|)."""
+    """EVERY scan in the partition-pruned MERGE (touched slice + feed
+    derivation) must read the snapshot through a PartitionFilters-gated
+    scan pinned to the touched partition (o_year = 1997) — no scan of
+    the layout may be unpruned, so the whole merge is
+    O(|touched| + |delta|), never O(|snapshot|)."""
     plan = plan_of(spark, "cdc_merge_pruned")
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    # Two partitioned scans: the touched (= 1997) and untouched (<> 1997)
-    # sides; BOTH predicates must be partition filters, not data filters.
-    assert any("= 1997" in l for l in pf), plan[:3000]
-    assert any(("NOT" in l or "!=" in l or "<>" in l) and "1997" in l for l in pf), pf
+    assert pf, plan[:3000]
+    assert all("= 1997" in l for l in pf), pf
+    # and the raw orders table must not appear at all (the feed derives
+    # from the pruned partition, not a second full-corpus scan)
+    locs = [l for l in plan.splitlines() if "Location" in l]
+    assert locs and all("orders_by_year" in l for l in locs), locs
 
 
 def test_q18_joins_are_all_broadcast(spark):
