@@ -62,6 +62,9 @@ SAMPLE_PRIORITY: list[str] = [
     # --- round-8 churn ---
     "cdc_merge_pruned",
     "multimodal_decode_pnm_dispatch",
+    "multimodal_resize_plan",
+    "sampling_pack_context_windows",
+    "embedding_quantize_error",
     "graph_pagerank_parts",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",
@@ -79,7 +82,6 @@ SAMPLE_PRIORITY: list[str] = [
     "multimodal_byte_stats",
     "multimodal_chunking",
     "multimodal_frame_sample",
-    "multimodal_resize_plan",
     "pivot_status_by_priority",
     "sampling_deterministic_split",
     "set_union_by_name",

@@ -287,6 +287,81 @@ def sampling_pack_shards(spark, t):
 
 
 @query(
+    "sampling_pack_context_windows",
+    oracle="""
+        WITH sized AS (
+            SELECT doc_id,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+                   doc_id % 8 AS shard_id
+            FROM documents
+        ),
+        placed AS (
+            SELECT shard_id, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) - n_tokens AS start_tok
+            FROM sized
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(start_tok // 2048 AS BIGINT) AS window_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS window_tokens
+        FROM placed GROUP BY 1, 2
+    """,
+    covers="pipeline: context-window sequence packing (concat-and-chunk "
+    "assignment of documents to fixed token-budget training windows, "
+    "shard-parallel)",
+)
+def sampling_pack_context_windows(spark, t):
+    """Pack documents into fixed-budget (2048-token) context windows — the
+    sequence-packing step an LLM pretraining pipeline runs so training
+    examples waste no padding. The packer is concat-and-chunk (the
+    standard streaming form): documents are concatenated in a
+    deterministic order and the token stream is chunked at budget
+    boundaries; each document is assigned to the window its FIRST token
+    lands in, so the output reports per-window document counts and token
+    mass.
+
+    Scale shape: the corpus is dealt into hash shards (doc_id % 8 —
+    at 100 TB this is thousands of shards) and the running token offset
+    is ONE window function per shard partition — never a global ORDER BY
+    (a single-partition cumulative sum is exactly what dies at scale;
+    the same argument as sampling_pack_shards' stratified deal). One
+    shuffle on shard_id serves both the window and the rollup.
+    Assignment is a pure function of (doc_id, n_tokens): re-runs pack
+    identically, the reproducibility contract training-data manifests
+    need."""
+    from pyspark.sql import Window
+
+    budget = 2048
+    sized = t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 8).alias("shard_id"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.select(
+        "shard_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok"),
+    )
+    return (
+        placed.groupBy(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            F.floor(F.col("start_tok") / budget).alias("window_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("window_tokens"),
+        )
+    )
+
+
+@query(
     "sampling_stratified_quota",
     oracle="""
         WITH ranked AS (

@@ -433,3 +433,72 @@ def similarity_ivf_ann(spark, t):
         .where(F.col("rn") <= 3)
         .select("q_id", "cand_id", "cos_sim")
     )
+
+
+@query(
+    "embedding_quantize_error",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                                           x -> ABS(CAST(x AS DOUBLE))))
+                       / 127.0 AS qscale
+            FROM embeddings
+        )
+        SELECT vec_id, qscale,
+               CASE WHEN qscale > 0 THEN
+                   CAST(list_sum(list_transform(
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE)
+                                - FLOOR(CAST(x AS DOUBLE) / qscale + 0.5)
+                                  * qscale),
+                       d -> CAST(FLOOR(d * d * 1e12) AS BIGINT)))
+                       AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS sqerr_units
+        FROM s
+    """,
+    covers="pipeline: int8 embedding quantization with exact per-vector "
+    "roundtrip-error accounting (symmetric absmax scaling — the storage "
+    "compression a 100 TB vector corpus runs before ANN indexing)",
+)
+def embedding_quantize_error(spark, t):
+    """Symmetric int8 quantization of the embedding column with exact
+    per-vector roundtrip error: scale = absmax/127, each component
+    quantizes to round(x/scale) and reconstructs to that integer times
+    scale; the output reports the scale and the summed squared error in
+    integer 1e-12 units. Quantization cuts vector storage 4x (float32 ->
+    int8), which at 100 TB of embeddings is the difference between the
+    ANN index fitting cluster memory or not — the error accounting is
+    what makes the compression auditable per vector rather than a
+    corpus-level average.
+
+    Determinism contract (the hash compare demands it): rounding is
+    written as FLOOR(x/scale + 0.5) in BOTH engines (SQL ROUND
+    half-away vs numpy/banker's would diverge exactly on .5 ties), and
+    the error sum is folded in integer units (FLOOR(d*d*1e12) per
+    component) so no float accumulation order can differ. All vector
+    math is zip-free elementwise TRANSFORM + fold — JVM expressions,
+    no Python.
+    """
+    x = lambda c: c.cast("double")  # noqa: E731
+    s = t["embeddings"].select(
+        "vec_id",
+        "embedding",
+        (
+            F.array_max(F.transform("embedding", lambda c: F.abs(x(c))))
+            / F.lit(127.0)
+        ).alias("qscale"),
+    )
+    qerr = F.transform(
+        "embedding",
+        lambda c: x(c) - F.floor(x(c) / F.col("qscale") + 0.5) * F.col("qscale"),
+    )
+    units = F.transform(qerr, lambda d: F.floor(d * d * 1e12).cast("long"))
+    fold = F.aggregate(units, F.lit(0).cast("long"), lambda acc, u: acc + u)
+    return s.select(
+        "vec_id",
+        "qscale",
+        F.when(F.col("qscale") > 0, fold)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("sqerr_units"),
+    )

@@ -216,3 +216,38 @@ spark.stop()
     token = [l for l in out.stdout.splitlines() if l.startswith("TOKEN=")][0][6:]
     leftovers = [d for d in os.listdir(wh) if d.endswith(token)]
     assert not leftovers, leftovers
+
+
+def test_pack_context_windows_conserves_tokens(spark):
+    """Packing must conserve token mass (every doc lands in exactly one
+    window), keep window ids contiguous from 0 per shard, and never
+    start a window past the concatenated stream's length."""
+    from pyspark.sql import functions as F
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_views,
+    )
+
+    rows = queries()["sampling_pack_context_windows"](spark, SF_ORACLE).collect()
+    docs = register_views(spark, SF_ORACLE)["documents"]
+    total = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("t")
+    ).first()["t"]
+    assert sum(r.window_tokens for r in rows) == total
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.window_id)
+    for shard, wins in by_shard.items():
+        wins = sorted(wins)
+        assert wins == list(range(len(wins))), (shard, wins)
+
+
+def test_embedding_quantize_error_bounded(spark):
+    """Symmetric int8 roundtrip error must be bounded per component by
+    (scale/2)^2 — the definition of round-to-nearest — and zero only for
+    degenerate vectors."""
+    rows = queries()["embedding_quantize_error"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        bound_units = 64 * (r.qscale / 2) ** 2 * 1e12
+        assert 0 <= r.sqerr_units <= bound_units + 64, r
