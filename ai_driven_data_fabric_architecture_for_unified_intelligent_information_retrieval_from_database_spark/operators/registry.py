@@ -50,13 +50,17 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: Composition per the standing churn-first rule:
 #: 1. everything round 8 TOUCHED — the new partition-pruned CDC merge,
 #:    the new P5/P6 format-dispatch decoder (replaces the retired
-#:    fabricated-feature stub entry), and PageRank (its packed-key cache
-#:    key and AQE-off clone conf propagation both changed);
+#:    fabricated-feature stub entry), the re-pointed resize plan, the
+#:    three new pipeline ops (context-window packing, int8 quantization
+#:    error, unigram surprisal), and PageRank (its packed-key cache key
+#:    and AQE-off clone conf propagation both changed);
 #: 2. the 6 entries that fell off the r07 50-entry window (last green
-#:    r02) and the 35 entries last driver-checked in r03 — after this
-#:    window no entry's last driver check is older than r04, and the 29
-#:    r04 entries rotate in next round;
-#: 3. padding to 50 with the oldest r04 head.
+#:    r02) and the 33 remaining entries last driver-checked in r03 —
+#:    after this window no entry's last driver check is older than r04,
+#:    and the 29 r04 entries rotate in next round;
+#: 3. padding with the oldest r04 head (the tail past the driver's
+#:    ~50-entry sample falls off harmlessly; those entries lead the r09
+#:    rotation anyway).
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
     # --- round-8 churn ---
@@ -65,6 +69,7 @@ SAMPLE_PRIORITY: list[str] = [
     "multimodal_resize_plan",
     "sampling_pack_context_windows",
     "embedding_quantize_error",
+    "text_unigram_surprisal",
     "graph_pagerank_parts",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",

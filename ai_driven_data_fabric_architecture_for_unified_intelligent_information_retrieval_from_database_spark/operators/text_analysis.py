@@ -713,3 +713,70 @@ def text_tfidf_top_terms(spark, t):
         .where(F.col("rn") <= 3)
         .select("doc_id", F.col("w").alias("term"), "score", "rn")
     )
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents
+        ),
+        inst AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        freq AS (SELECT w, COUNT(*) AS c FROM inst GROUP BY w),
+        n AS (SELECT COUNT(*) AS total FROM inst)
+        SELECT i.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(n.total // f.c) AS BIGINT) AS surprisal_units,
+               CAST(MAX(n.total // f.c) AS BIGINT) AS rarest_unit
+        FROM inst i JOIN freq f USING (w) CROSS JOIN n
+        GROUP BY i.doc_id
+    """,
+    covers="pipeline: unigram-LM surprisal scoring (corpus-language-model "
+    "rarity filter — the perplexity-style quality gate, in the exact "
+    "rational form)",
+)
+def text_unigram_surprisal(spark, t):
+    """Score each document by how surprising its tokens are under the
+    corpus's own unigram language model — the perplexity-style filter a
+    curation pipeline uses to catch gibberish (very high surprisal) and
+    boilerplate (very low). Each token instance contributes its integer
+    inverse probability ``N // c_w`` (corpus instances over the token's
+    count); the output carries the per-document sum, token count, and
+    the rarest single token's unit.
+
+    The score is the exact RATIONAL surprisal, not the textbook mean
+    ``-ln p``: the tfidf_top_terms precedent — Math.log vs libm log can
+    differ in the last ulp, and this engine's determinism contract
+    (driver value-hash) does not admit transcendentals in emitted
+    values. Integer floor-division is bit-exact on both engines, and
+    per-token inverse probability orders tokens identically to -ln p.
+
+    Plan shape: ONE corpus explode feeds both the vocabulary rollup and
+    the scoring join (the tfidf discipline); the vocabulary relation
+    grows sublinearly with the corpus, the scalar total broadcasts, and
+    the per-doc rollup is the only fact-grain exchange. No text bodies
+    move after the explode — every shuffle carries (token, count) or
+    (doc_id, units) pairs."""
+    inst = (
+        t["documents"]
+        .select("doc_id", F.explode(words_col()).alias("w"))
+        .where(F.col("w") != "")
+    )
+    freq = inst.groupBy("w").agg(F.count("*").alias("c"))
+    total = inst.agg(F.count("*").alias("total"))
+    # Integer DIV, not floor(double /): double division of two longs is
+    # floor-safe only below ~9e15 total tokens — a 100 TB corpus sits
+    # close enough to that line that exact-by-construction is the only
+    # defensible form (DuckDB's // is integer division already).
+    units = F.expr("total DIV c")
+    return (
+        inst.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(units).alias("surprisal_units"),
+            F.max(units).alias("rarest_unit"),
+        )
+    )
