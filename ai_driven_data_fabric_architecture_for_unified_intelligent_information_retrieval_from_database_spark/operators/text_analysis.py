@@ -696,6 +696,16 @@ def text_tfidf_top_terms(spark, t):
     n_docs = t["documents"].agg(F.count("*").alias("n_docs"))
     from pyspark.sql import Window
 
+    from .relational import _fits_broadcast
+
+    # Cost-chosen df join (r08 A/B, sf10 same-session min-of-3:
+    # broadcast-vocab 3.26 s vs shuffled 3.69 s): the vocabulary relation
+    # grows sublinearly with the corpus, so it usually fits the broadcast
+    # budget and the tf side then never re-shuffles on the term key; a
+    # vocabulary past the threshold (100 TB web corpora reach 10^8+
+    # terms) falls back to the term-key shuffle join.
+    if _fits_broadcast(spark, df_rel):
+        df_rel = F.broadcast(df_rel)
     scored = (
         tf.join(df_rel, "w")
         .crossJoin(F.broadcast(n_docs))
@@ -722,15 +732,19 @@ def text_tfidf_top_terms(spark, t):
             SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
             FROM documents
         ),
-        inst AS (SELECT doc_id, w FROM tok WHERE w <> ''),
-        freq AS (SELECT w, COUNT(*) AS c FROM inst GROUP BY w),
-        n AS (SELECT COUNT(*) AS total FROM inst)
-        SELECT i.doc_id,
-               COUNT(*) AS n_tokens,
-               CAST(SUM(n.total // f.c) AS BIGINT) AS surprisal_units,
+        tf AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM tok
+            WHERE w <> '' GROUP BY doc_id, w
+        ),
+        freq AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY w),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM freq)
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf.tf * (n.total // f.c)) AS BIGINT)
+                   AS surprisal_units,
                CAST(MAX(n.total // f.c) AS BIGINT) AS rarest_unit
-        FROM inst i JOIN freq f USING (w) CROSS JOIN n
-        GROUP BY i.doc_id
+        FROM tf JOIN freq f USING (w) CROSS JOIN n
+        GROUP BY tf.doc_id
     """,
     covers="pipeline: unigram-LM surprisal scoring (corpus-language-model "
     "rarity filter — the perplexity-style quality gate, in the exact "
@@ -752,31 +766,37 @@ def text_unigram_surprisal(spark, t):
     values. Integer floor-division is bit-exact on both engines, and
     per-token inverse probability orders tokens identically to -ln p.
 
-    Plan shape: ONE corpus explode feeds both the vocabulary rollup and
-    the scoring join (the tfidf discipline); the vocabulary relation
-    grows sublinearly with the corpus, the scalar total broadcasts, and
-    the per-doc rollup is the only fact-grain exchange. No text bodies
-    move after the explode — every shuffle carries (token, count) or
-    (doc_id, units) pairs."""
+    Plan shape (the tfidf discipline, plan-gated in tests/test_plans.py):
+    ONE corpus explode feeds a per-(doc, term) tf rollup, and BOTH the
+    vocabulary counts and the corpus total derive from that rollup's
+    exchange — never from a second corpus scan (the first cut scanned
+    documents three times; Catalyst reuses the tf exchange for the join
+    side and the freq rollup). The vocabulary relation grows sublinearly
+    with the corpus and broadcasts into the scoring join; the per-doc
+    rollup re-aggregates tf-grain rows. No text bodies move after the
+    explode — every shuffle carries (token, count) pairs. Per-term
+    products stay in int64 range to ~1e13 corpus tokens x 1e3-token
+    docs (1e16 < 2^63)."""
     inst = (
         t["documents"]
         .select("doc_id", F.explode(words_col()).alias("w"))
         .where(F.col("w") != "")
     )
-    freq = inst.groupBy("w").agg(F.count("*").alias("c"))
-    total = inst.agg(F.count("*").alias("total"))
+    tf = inst.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("w").agg(F.sum("tf").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
     # Integer DIV, not floor(double /): double division of two longs is
     # floor-safe only below ~9e15 total tokens — a 100 TB corpus sits
     # close enough to that line that exact-by-construction is the only
     # defensible form (DuckDB's // is integer division already).
     units = F.expr("total DIV c")
     return (
-        inst.join(F.broadcast(freq), "w")
+        tf.join(F.broadcast(freq), "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(units).alias("surprisal_units"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * units).alias("surprisal_units"),
             F.max(units).alias("rarest_unit"),
         )
     )
