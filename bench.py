@@ -90,8 +90,16 @@ HEADLINE = [
     "pipeline_curation_funnel",
     # round-8: the steady-state partitioned-target MERGE (only touched
     # partitions join; the once-per-corpus partitioned layout write is
-    # untimed construction, same contract as bucketed_join_revenue).
+    # untimed construction, same contract as bucketed_join_revenue),
+    # then the three post-curve pipeline additions (context-window
+    # packing, int8 quantization error, unigram surprisal) — added to
+    # the headline AFTER the r08 curve legs ran at 41 cells; their
+    # sf1/sf10 records are isolated same-process pairs (BASELINE.md r08
+    # footnote).
     "cdc_merge_pruned",
+    "sampling_pack_context_windows",
+    "embedding_quantize_error",
+    "text_unigram_surprisal",
 ]
 
 #: Cells whose construction DOES the work (eager checkpoints, bucketed
