@@ -70,6 +70,7 @@ SAMPLE_PRIORITY: list[str] = [
     "sampling_pack_context_windows",
     "embedding_quantize_error",
     "text_unigram_surprisal",
+    "streaming_cdc_upsert",
     "graph_pagerank_parts",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",

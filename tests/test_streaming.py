@@ -268,3 +268,83 @@ def test_dedup_watermark_multibatch_shuffled_order(spark, tmp_path_factory):
     assert got == want
     # and the multi-batch output itself contains no duplicate keys
     assert streamed.count() == len(got)
+
+
+def test_cdc_upsert_state_is_batch_boundary_invariant(spark, tmp_path_factory):
+    """The foreachBatch CDC merge must converge to the same table state no
+    matter how the feed is batched or ordered: replay the corpus in a
+    SHUFFLED 8-file order and compare against the registered 4-batch
+    drain (which itself matched the SQL argmax oracle)."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    stage = str(tmp_path_factory.mktemp("cdc_upsert_parts"))
+    raw = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    raw.repartition(8).write.mode("overwrite").parquet(stage)
+    parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    order = list(parts)
+    random.Random(11).shuffle(order)
+    base = 1_700_000_000
+    for i, p in enumerate(order):
+        os.utime(os.path.join(stage, p), (base + i, base + i))
+
+    ev = sw.events_stream_from_dir(spark, SF_SMOKE, stage, max_files_per_trigger=1)
+    ver_root = str(tmp_path_factory.mktemp("cdc_upsert_state"))
+    state = {"path": None}
+
+    def _merge(batch_df, batch_id):
+        latest = batch_df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type")).alias("s"),
+            F.count("*").alias("n_events"),
+        )
+        if state["path"] is not None:
+            cur = batch_df.sparkSession.read.parquet(state["path"])
+            latest = (
+                cur.alias("c")
+                .join(latest.alias("b"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    F.when(
+                        F.col("b.s").isNull() | (F.col("c.s") > F.col("b.s")),
+                        F.col("c.s"),
+                    ).otherwise(F.col("b.s")).alias("s"),
+                    (
+                        F.coalesce(F.col("c.n_events"), F.lit(0).cast("long"))
+                        + F.coalesce(F.col("b.n_events"), F.lit(0).cast("long"))
+                    ).alias("n_events"),
+                )
+            )
+        out = os.path.join(ver_root, f"v{batch_id}")
+        latest.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .queryName("t_cdc_upsert_multibatch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0]
+    assert len(fed) == 8, f"expected 8 one-file micro-batches, saw {len(fed)}"
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(state["path"])
+        .select(
+            "user_id",
+            F.col("s.ts").cast("timestamp_ntz").alias("last_ts"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+            "n_events",
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in queries()["streaming_cdc_upsert"](spark, SF_SMOKE).collect()
+    )
+    assert want, "registered drain returned nothing — vacuous"
+    assert got == want
