@@ -71,6 +71,7 @@ SAMPLE_PRIORITY: list[str] = [
     "embedding_quantize_error",
     "text_unigram_surprisal",
     "streaming_cdc_upsert",
+    "text_quality_calibrated",
     "graph_pagerank_parts",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     LANG_MARKERS,
     SQL_NORMALIZED_TEXT,
+    SQL_QUALITY_SCORE,
     normalized_text,
     quality_score_col,
     occurrences,
@@ -799,4 +800,67 @@ def text_unigram_surprisal(spark, t):
             F.sum(F.col("tf") * units).alias("surprisal_units"),
             F.max(units).alias("rarest_unit"),
         )
+    )
+
+
+@query(
+    "text_quality_calibrated",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source, {SQL_QUALITY_SCORE.format(t='text')} AS q
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, q,
+                   PERCENT_RANK() OVER (PARTITION BY source
+                                        ORDER BY q, doc_id) AS pr
+            FROM scored
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN pr >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               MIN(CASE WHEN pr >= 0.2 THEN q END) AS min_kept_q
+        FROM ranked GROUP BY source
+    """,
+    covers="pipeline: per-source calibrated quality gate (percent-rank "
+    "within source, bottom-quintile drop — absolute thresholds misfire "
+    "when sources have different score distributions)",
+)
+def text_quality_calibrated(spark, t):
+    """Per-source quality calibration: rank each document's quality score
+    WITHIN its source and drop the bottom quintile per source — the
+    curation-pipeline fix for absolute thresholds, which over-prune
+    clean-but-terse sources and under-prune verbose-but-noisy ones
+    (every source contributes exactly its top 80%). Output is the
+    per-source audit row: corpus size, kept count, and the calibrated
+    cut score the quantile landed on.
+
+    Shares the ONE quality kernel (functions/text.py::quality_score_col
+    and its SQL twin) with text_quality_score, the curation funnel, and
+    the cluster-representative picker. The percent_rank ties are broken
+    by doc_id so both engines rank identically.
+
+    Scale shape: one window partitioned by source — source cardinality
+    is bounded (thousands of domains), so the sort is per-source and
+    parallel. A pathologically skewed source (one domain = half the
+    corpus) would route to approx-quantile calibration instead
+    (percentile_approx per source, then a broadcast threshold join —
+    the agg_percentiles primitive); the exact window form is right while
+    per-source partitions fit a task."""
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score_col
+
+    scored = t["documents"].select(
+        "doc_id", "source", quality_score_col().alias("q")
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = scored.select("source", "q", F.percent_rank().over(w).alias("pr"))
+    kept = F.when(F.col("pr") >= 0.2, F.col("q"))
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("pr") >= 0.2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.min(kept).alias("min_kept_q"),
     )
