@@ -447,6 +447,26 @@ MINHASH_VERIFY_THRESHOLD = 0.5
 assert MINHASH_VERIFY_THRESHOLD >= JACCARD_THRESHOLD
 
 
+def _band_buckets(sig) -> DataFrame:
+    """One slim (doc_id, sz, band_idx, band_key) relation via posexplode
+    over the banded signature columns — shared by the full self-join LSH
+    and the incremental delta-vs-base form. The shuffle carries 4 small
+    columns x N_BANDS rows per doc, and nothing ever joins back to the
+    signature relation."""
+    rows_per_band = N_PERM // N_BANDS
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", "sz", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     # NOTE: this oracle is a brute-force quadratic all-pairs exact Jaccard
@@ -502,22 +522,7 @@ def dedup_minhash_lsh(spark, t):
     # hashes grouped per doc — the same bytes the r04 plan shuffled as
     # rows — and ObjectHashAggregate spills per partition.
     sig = minhash_signatures(t, with_sets=True)
-    rows_per_band = N_PERM // N_BANDS
-    # One slim (doc_id, sz, band_idx, band_key) relation via posexplode,
-    # then a SINGLE self-join on (band_idx, band_key) — not one join per
-    # band. The shuffle carries 4 small columns x N_BANDS rows per doc,
-    # and nothing ever joins back to the signature relation.
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    buckets = sig.select(
-        "doc_id", "sz", F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
+    buckets = _band_buckets(sig)
     a_b = buckets.select(
         F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz"),
         "band_idx", "band_key",
@@ -796,4 +801,70 @@ def dedup_embedding_cosine(spark, t):
         dropped, e.vec_id == F.col("dropped_id"), "left"
     ).select(
         "vec_id", "label", F.col("dropped_id").isNull().alias("is_kept")
+    )
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+        WITH {_PAIR_CTES}
+        SELECT CASE WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS delta_id,
+               CASE WHEN a_id % 5 = 0 THEN b_id ELSE a_id END AS base_id,
+               jaccard
+        FROM jpairs
+        WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+          AND (CASE WHEN a_id % 5 = 0 THEN 1 ELSE 0 END
+               + CASE WHEN b_id % 5 = 0 THEN 1 ELSE 0 END) = 1
+    """,
+    covers="pipeline: INCREMENTAL near-dup — a new-document delta checked "
+    "against the existing corpus via the persisted band-bucket relation "
+    "(delta-sized work per batch; the steady-state 100 TB dedup path, "
+    "analogous to cdc_merge_incremental vs the one-shot apply)",
+)
+def dedup_minhash_incremental(spark, t):
+    """Incremental near-dup: only the DELTA (here: doc_id % 5 == 0, the
+    'newly arrived' fifth of the corpus) generates band keys that probe
+    the BASE corpus's bucket relation — no delta-delta or base-base pair
+    is ever formed, and the base is never self-joined. This is how dedup
+    runs steady-state at 100 TB: the base's signatures and band buckets
+    are a PERSISTED table (append each accepted batch, the
+    ensure_bucketed_table discipline); each ingest batch pays
+    O(|delta| bands + matched buckets + verified candidates), never
+    O(|corpus|^2) — the full self-join (dedup_minhash_lsh) is the
+    cold-start/backfill form, exactly the cdc_merge_apply routing.
+
+    Banding + exact-verify semantics are identical to dedup_minhash_lsh
+    (same signature aggregate, same shared band-bucket builder, same
+    Jaccard threshold), so the existing total-recall tripwire transfers:
+    the oracle is the quadratic exact-Jaccard ground truth restricted to
+    (delta, base) pairs, and any pair the banding misses is a row-count
+    mismatch, not an unverifiable claim."""
+    sig = minhash_signatures(t, with_sets=True)
+    buckets = _band_buckets(sig)
+    is_delta = F.col("doc_id") % 5 == 0
+    delta_b = buckets.where(is_delta).select(
+        F.col("doc_id").alias("delta_id"), F.col("sz").alias("d_sz"),
+        "band_idx", "band_key",
+    )
+    base_b = buckets.where(~is_delta).select(
+        F.col("doc_id").alias("base_id"), F.col("sz").alias("b_sz"),
+        "band_idx", "band_key",
+    )
+    cand = (
+        delta_b.join(base_b, ["band_idx", "band_key"])
+        .select("delta_id", "base_id", "d_sz", "b_sz")
+        .distinct()
+    )
+    hs = sig.select("doc_id", "hset")
+    j = cand.join(
+        hs.select(F.col("doc_id").alias("delta_id"), F.col("hset").alias("d_set")),
+        "delta_id",
+    ).join(
+        hs.select(F.col("doc_id").alias("base_id"), F.col("hset").alias("b_set")),
+        "base_id",
+    )
+    n_common = F.size(F.array_intersect("d_set", "b_set"))
+    jac = n_common.cast("double") / (F.col("d_sz") + F.col("b_sz") - n_common)
+    return j.select("delta_id", "base_id", jac.alias("jaccard")).where(
+        F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD
     )

@@ -72,6 +72,7 @@ SAMPLE_PRIORITY: list[str] = [
     "text_unigram_surprisal",
     "streaming_cdc_upsert",
     "text_quality_calibrated",
+    "dedup_minhash_incremental",
     "graph_pagerank_parts",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",
