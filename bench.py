@@ -100,6 +100,10 @@ HEADLINE = [
     "sampling_pack_context_windows",
     "embedding_quantize_error",
     "text_unigram_surprisal",
+    # the steady-state incremental near-dup (delta probes base buckets);
+    # its ground-truth oracle is quadratic, so the curve runner skips it
+    # past sf1 like the other exact-Jaccard-oracle cells.
+    "dedup_minhash_incremental",
 ]
 
 #: Cells whose construction DOES the work (eager checkpoints, bucketed

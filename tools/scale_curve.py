@@ -78,7 +78,8 @@ def main() -> None:
         tail = d.rstrip("/").rsplit("sf", 1)[-1]
         if tail.replace(".", "").isdigit() and float(tail) > 1:
             env["SPARK_GRAFT_BENCH_SKIP"] = (
-                "dedup_ngram_jaccard,dedup_minhash_lsh,dedup_components"
+                "dedup_ngram_jaccard,dedup_minhash_lsh,dedup_components,"
+                "dedup_minhash_incremental"
             )
         spark = run_json([sys.executable, "bench.py"], env=env)
         # bench.py's FINAL line is the compact driver-facing record (r08:
