@@ -166,7 +166,7 @@ def test_rows_only_queries_run(spark):
         df.limit(5).collect()
 
 
-@pytest.mark.parametrize("name", [n for n in list(queries())[:19]])
+@pytest.mark.parametrize("name", [n for n in list(queries())[:50]])
 def test_r05_window_driver_style_dtype_compare(spark, name):
     """Driver-fidelity pass for the round-5 sampling window: both results
     go through pandas (the driver's path) and must match dtype-for-dtype,
