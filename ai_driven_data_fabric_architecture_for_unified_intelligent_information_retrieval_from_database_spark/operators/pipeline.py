@@ -30,6 +30,7 @@ from ..functions.text import (
     SQL_QUALITY_SCORE,
     normalized_text,
     quality_score_col,
+    token_count,
     words_col,
 )
 from .registry import query
@@ -247,3 +248,60 @@ def pipeline_curation_funnel(spark, t):
     )
 
     return funnel03.unionAll(rows45).orderBy("stage_ord")
+
+
+@query(
+    "pipeline_datacard_manifest",
+    oracle=f"""
+        WITH m AS (
+            SELECT source, lang,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+                   {SQL_QUALITY_SCORE.format(t='text')} AS q,
+                   MD5({SQL_NORMALIZED_TEXT.format(t='text')}) AS fp
+            FROM documents
+        )
+        SELECT source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(ROUND(q * 1000000) AS BIGINT)) AS BIGINT)
+                   AS quality_micro_sum,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp
+        FROM m GROUP BY source, lang
+    """,
+    covers="pipeline: training-data MANIFEST / datacard rollup — per "
+    "(source, lang): docs, tokens, exact quality mass, normalized-"
+    "fingerprint uniqueness (the audit table a corpus release ships with)",
+)
+def pipeline_datacard_manifest(spark, t):
+    """The per-(source, language) datacard a training-corpus release
+    ships: document and token counts, the exact quality mass (micro-unit
+    integer sum — a mean is one division away and the integer form is
+    order-independent, the repo's standard float discipline), and
+    normalized-fingerprint uniqueness (distinct canonical-form hashes:
+    n_docs - n_unique_fp is the stratum's internal duplicate count).
+
+    One scan, one (source, lang) exchange; COUNT(DISTINCT fp) expands to
+    a two-phase aggregate whose first phase dedups (source, lang, fp)
+    partials map-side. Source x lang cardinality is bounded (thousands),
+    so the output is a dimension-sized audit table at any corpus size.
+    Quality rides the shared kernel (functions/text.py), fingerprints
+    the shared normalizer — the manifest can never drift from what the
+    curation operators actually computed."""
+    q_micro = F.round(quality_score_col() * 1_000_000).cast("long")
+    return (
+        t["documents"]
+        .select(
+            "source",
+            "lang",
+            token_count().alias("n_tokens"),
+            q_micro.alias("q_micro"),
+            F.md5(normalized_text()).alias("fp"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("q_micro").alias("quality_micro_sum"),
+            F.countDistinct("fp").alias("n_unique_fp"),
+        )
+    )

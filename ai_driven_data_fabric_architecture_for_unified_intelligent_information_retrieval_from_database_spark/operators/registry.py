@@ -73,6 +73,7 @@ SAMPLE_PRIORITY: list[str] = [
     "streaming_cdc_upsert",
     "text_quality_calibrated",
     "dedup_minhash_incremental",
+    "pipeline_datacard_manifest",
     "graph_pagerank_parts",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",
