@@ -552,11 +552,24 @@ def main() -> None:
     except OSError:
         evidence_path = None
     print(json.dumps(evidence))
-    # Final line: compact and LENGTH-GUARDED — drop precision, then the
-    # queries dict, before ever exceeding the driver's tail capture.
+    print(final_line(evidence, common, evidence_path))
+
+
+#: The external harness captures only the last ~2000 chars of stdout; the
+#: final line must parse from that tail with room for a trailing newline
+#: and any stray log bytes. (r07 shipped a 4 KB final line: parsed=null.)
+FINAL_LINE_BUDGET = 1800
+
+
+def final_line(evidence: dict, common: list[str], evidence_path) -> str:
+    """The compact, LENGTH-GUARDED driver-facing record: drop precision,
+    then the queries dict, before ever exceeding the tail budget. Pure
+    function of the evidence blob so the guard is unit-testable
+    (tests/test_entry.py pins it against a 200-cell suite)."""
+    timings = evidence["queries"]
     compact = {
-        "metric": "headline_suite_wall_clock",
-        "value": total,
+        "metric": evidence["metric"],
+        "value": evidence["value"],
         "unit": "sec",
         "queries": timings,
         "sf": evidence["sf"],
@@ -571,13 +584,13 @@ def main() -> None:
         "evidence_file": evidence_path,
     }
     line = json.dumps(compact)
-    if len(line) > 1800:
+    if len(line) > FINAL_LINE_BUDGET:
         compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(compact)
-    if len(line) > 1800:
+    if len(line) > FINAL_LINE_BUDGET:
         compact["queries"] = {"_truncated_see": evidence_path}
         line = json.dumps(compact)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -17,3 +17,36 @@ def test_every_oracle_key_has_query():
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 40
+
+
+def test_bench_final_line_always_fits_tail_budget():
+    """The driver parses the LAST stdout line from a ~2000-char tail
+    capture; r07's artifact was unreadable because the line outgrew it.
+    The guard must hold even for a 200-cell suite with long names."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    import bench
+
+    names = [f"some_quite_long_operator_name_{i:03d}" for i in range(200)]
+    evidence = {
+        "metric": "headline_suite_wall_clock",
+        "value": 123.456,
+        "queries": {n: 1.234 for n in names},
+        "sf": 0.1,
+        "duckdb_reference": {
+            "ratio_common": 1.23,
+            "ratio_common_symmetric": 1.11,
+        },
+    }
+    line = bench.final_line(evidence, names, "/tmp/evidence.json")
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["n_cells"] == 200
+    assert parsed["ratio_common"] == 1.23
+    # and a small suite keeps full per-query precision
+    small = dict(evidence, queries={"q1": 1.234, "q2": 0.567})
+    parsed = json.loads(bench.final_line(small, ["q1", "q2"], None))
+    assert parsed["queries"] == {"q1": 1.234, "q2": 0.567}
