@@ -207,3 +207,37 @@ def test_r05_window_driver_style_dtype_compare(spark, name):
             got[c] = pd.to_datetime(g).astype("datetime64[us]")
             want[c] = pd.to_datetime(w).astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+DUAL_FORM_ENTRIES = [
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
+    "tpch_q22_global_sales_opportunity",
+    "join_star_flagship",
+    "text_tfidf_top_terms",
+    "cdc_merge_pruned",
+]
+
+
+@pytest.mark.parametrize("name", DUAL_FORM_ENTRIES)
+def test_dual_form_entries_value_equivalent_without_broadcast(spark, name):
+    """Every cost-chosen operator must produce identical VALUES down its
+    past-broadcast-budget branch (the 100 TB shape) — the plan gates in
+    test_plans.py pin the shuffle form's shape, but shape-correct and
+    value-correct can diverge (a mis-scoped filter survives a plan
+    assert). Forced in an isolated cloned session with broadcasting
+    disabled; the parent session's choice is untouched."""
+    base = sorted(
+        tuple(r) for r in queries()[name](spark, SF_ORACLE).collect()
+    )
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.session.timeZone", "UTC")
+    clone.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    clone.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    forced = sorted(
+        tuple(r) for r in queries()[name](clone, SF_ORACLE).collect()
+    )
+    assert base, f"{name}: base branch returned nothing — vacuous"
+    assert forced == base
