@@ -251,25 +251,3 @@ def test_embedding_quantize_error_bounded(spark):
     for r in rows:
         bound_units = 64 * (r.qscale / 2) ** 2 * 1e12
         assert 0 <= r.sqerr_units <= bound_units + 64, r
-
-
-def test_cdc_merge_pruned_shuffle_branch_equivalent(spark):
-    """The pruned merge's past-broadcast-budget branch (full-outer shuffle
-    merge) must produce exactly the broadcast decomposition's rows — the
-    branch never runs at test scale otherwise, and an untested fallback
-    is where semantics drift. Forced via an isolated cloned session with
-    broadcasting disabled."""
-    base = sorted(
-        tuple(r)
-        for r in queries()["cdc_merge_pruned"](spark, SF_ORACLE).collect()
-    )
-    clone = spark.newSession()
-    clone.conf.set("spark.sql.session.timeZone", "UTC")
-    clone.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    clone.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    forced = sorted(
-        tuple(r)
-        for r in queries()["cdc_merge_pruned"](clone, SF_ORACLE).collect()
-    )
-    assert base, "broadcast branch returned nothing — vacuous"
-    assert forced == base
