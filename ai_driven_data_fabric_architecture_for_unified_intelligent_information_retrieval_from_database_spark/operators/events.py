@@ -251,26 +251,42 @@ def events_funnel_conversion(spark, t):
     strictly AFTER their first view — the standard product-analytics
     ordered-sequence question.
 
-    Two per-user MIN rollups around one user_id equi-join: the first-view
-    rollup shrinks the left side to one row per user before the join (map-
-    side combine), the join fans out only to that user's purchase events,
-    and the second rollup collapses them. Every exchange is keyed on
-    user_id, so at 100 TB the three stages reuse one partitioning; no
-    window function and no ordering shuffle is needed because both
-    sequence anchors are MINs under a predicate."""
-    ev = t["events"]
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
+    ONE scan, ONE per-user aggregate (r08 A/B, sf10 same-session
+    min-of-3: 0.50 s vs the previous two-scan rollup+join form's 0.89 s
+    — pre-filtering that form's shared scan changed nothing, so the
+    second scan + join fan-out was the whole gap): the single groupBy
+    collects first_view as a conditional MIN and the user's purchase
+    timestamps as a sorted array in the same pass; the answer is the
+    first array element past first_view (element_at(filter(...), 1), a
+    codegen'd array probe). The one exchange carries per-user partial
+    state keyed on user_id.
+
+    Per-key bound: the array holds ONE user's purchase events —
+    human-bounded in any real log, and ObjectHashAggregate spills per
+    partition. A corpus with pathological machine accounts (millions of
+    purchases under one key) routes back to the two-rollup join form
+    this replaced (git history / the A/B above), which never
+    materializes a per-user list."""
+    ev = t["events"].where(F.col("event_type").isin("view", "purchase"))
+    g = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("ps"),
     )
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    first_purchase = F.element_at(
+        F.filter("ps", lambda x: x > F.col("first_view")), 1
     )
     return (
-        v.join(p, (v.user_id == F.col("p_user")) & (F.col("p_ts") > v.first_view))
-        .groupBy("user_id", "first_view")
-        .agg(F.min("p_ts").alias("first_purchase"))
+        g.where(F.col("first_view").isNotNull())
+        .select(
+            "user_id", "first_view", first_purchase.alias("first_purchase")
+        )
+        .where(F.col("first_purchase").isNotNull())
     )
 
 

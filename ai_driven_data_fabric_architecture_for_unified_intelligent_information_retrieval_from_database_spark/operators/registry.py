@@ -74,6 +74,7 @@ SAMPLE_PRIORITY: list[str] = [
     "text_quality_calibrated",
     "dedup_minhash_incremental",
     "pipeline_datacard_manifest",
+    "events_funnel_conversion",
     "graph_pagerank_parts",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",
