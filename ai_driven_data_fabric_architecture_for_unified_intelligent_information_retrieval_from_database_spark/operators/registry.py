@@ -66,6 +66,7 @@ SAMPLE_PRIORITY: list[str] = [
     # --- round-8 churn ---
     "cdc_merge_pruned",
     "multimodal_decode_pnm_dispatch",
+    "multimodal_decode_wav_real",
     "multimodal_resize_plan",
     "sampling_pack_context_windows",
     "embedding_quantize_error",

@@ -328,3 +328,95 @@ def test_decode_stub_fallback_is_deterministic(spark):
     r2 = sorted(tuple(r) for r in decode_stub_features(docs).collect())
     assert r1 == r2 and len(r1) == 50
     assert all(r[2] >= 1 and r[3] >= 1 and r[4] == 3 for r in r1)
+
+
+def test_wav_parser_chunk_walk_grammar():
+    """The RIFF parser walks the chunk list per spec (LE sizes, pad-to-even,
+    chunk order free, unknown chunks skipped) and rejects malformed
+    containers loudly rather than mis-reading."""
+    import struct
+
+    import pytest
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.multimodal import (
+        _parse_wav,
+    )
+
+    def wav(chunks: list[tuple[bytes, bytes]]) -> bytes:
+        body = b"WAVE"
+        for cid, payload in chunks:
+            body += cid + struct.pack("<I", len(payload)) + payload
+            if len(payload) % 2:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<4h", 10, -20, 30, -40)
+    rate, ch, n, mean = _parse_wav(wav([(b"fmt ", fmt), (b"data", data)]))
+    assert (rate, ch, n) == (8000, 1, 4) and mean == (10 + 20 + 30 + 40) / 4
+    # chunk order is free; unknown odd-size chunks are skipped with padding
+    assert _parse_wav(
+        wav([(b"LIST", b"junk!"), (b"data", data), (b"fmt ", fmt)])
+    ) == (8000, 1, 4, mean)
+    # stereo: n_samples is per channel, mean over all interleaved samples
+    fmt2 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    assert _parse_wav(wav([(b"fmt ", fmt2), (b"data", data)]))[:3] == (8000, 2, 2)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        _parse_wav(b"RIFX" + bytes(40))
+    bad = bytearray(wav([(b"fmt ", fmt), (b"data", data)]))
+    bad[4] ^= 0xFF
+    with pytest.raises(ValueError, match="size field"):
+        _parse_wav(bytes(bad))
+    # a chunk whose declared size exceeds its bytes (RIFF size consistent,
+    # so the container-level check passes and the chunk walk must catch it)
+    lying = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data) + 4) + data
+    )
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _parse_wav(b"RIFF" + struct.pack("<I", len(lying)) + lying)
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        _parse_wav(wav([(b"fmt ", fmt)]))
+    mp3ish = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)
+    with pytest.raises(ValueError, match="unsupported format"):
+        _parse_wav(wav([(b"fmt ", mp3ish), (b"data", data)]))
+    with pytest.raises(ValueError, match="not sample-aligned"):
+        _parse_wav(wav([(b"fmt ", fmt), (b"data", data + b"\x01")]))
+    with pytest.raises(ValueError, match="empty data"):
+        _parse_wav(wav([(b"fmt ", fmt), (b"data", b"")]))
+
+
+def test_wav_parser_roundtrip_fuzz():
+    """Property: any (rate, channels, samples) packed per the RIFF grammar
+    — with random unknown chunks interleaved — parses back exactly.
+    Deterministic seed, no Spark."""
+    import random
+    import struct
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.multimodal import (
+        _parse_wav,
+    )
+
+    rng = random.Random(20260815)
+    for _ in range(200):
+        rate = rng.choice([8000, 16000, 44100])
+        ch = rng.choice([1, 2])
+        n = rng.randint(1, 50)
+        samples = [rng.randint(-32768, 32767) for _ in range(n * ch)]
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * 2 * ch, 2 * ch, 16)
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        chunks = [(b"fmt ", fmt), (b"data", data)]
+        for _ in range(rng.randint(0, 2)):
+            junk = bytes(rng.randrange(256) for _ in range(rng.randint(0, 9)))
+            chunks.insert(rng.randint(0, len(chunks)), (b"JUNK", junk))
+        body = b"WAVE"
+        for cid, payload in chunks:
+            body += cid + struct.pack("<I", len(payload)) + payload
+            if len(payload) % 2:
+                body += b"\x00"
+        buf = b"RIFF" + struct.pack("<I", len(body)) + body
+        got = _parse_wav(buf)
+        assert got == (
+            rate, ch, n, sum(abs(s) for s in samples) / len(samples)
+        )
