@@ -75,8 +75,6 @@ SAMPLE_PRIORITY: list[str] = [
     "text_quality_calibrated",
     "dedup_minhash_incremental",
     "pipeline_datacard_manifest",
-    "events_funnel_conversion",
-    "graph_pagerank_parts",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",
     "text_lang_id",
@@ -118,7 +116,13 @@ SAMPLE_PRIORITY: list[str] = [
     "tpch_q9_product_type_profit",
     "window_first_last_value",
     "window_ntile_percent_rank",
-    # --- oldest r04 head (padding to 50) ---
+    # --- round-8 churn whose VALUES are unchanged (plan/cache-only
+    # changes, outputs verified identical in the round's A/Bs) — behind
+    # the stale tail so all 39 r02/r03 entries stay inside the ~50-entry
+    # driver sample ---
+    "events_funnel_conversion",
+    "graph_pagerank_parts",
+    # --- oldest r04 head (padding past the window) ---
     "dedup_exact",
     "dedup_normalized_groups",
     "dedup_simhash",
