@@ -67,6 +67,7 @@ SAMPLE_PRIORITY: list[str] = [
     "cdc_merge_pruned",
     "multimodal_decode_pnm_dispatch",
     "multimodal_decode_wav_real",
+    "multimodal_decode_y4m_real",
     "multimodal_resize_plan",
     "sampling_pack_context_windows",
     "embedding_quantize_error",

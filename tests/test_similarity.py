@@ -420,3 +420,69 @@ def test_wav_parser_roundtrip_fuzz():
         assert got == (
             rate, ch, n, sum(abs(s) for s in samples) / len(samples)
         )
+
+
+def test_y4m_parser_grammar():
+    """Stream/frame header grammar: parameters in any order, per-frame
+    params tolerated, every malformation rejected loudly."""
+    import pytest
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.multimodal import (
+        _parse_y4m,
+    )
+
+    f = bytes(range(24))  # one 4x4 C420 frame (16 luma + 8 chroma)
+    hdr = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n"
+    w, h, nf, ns, mean = _parse_y4m(hdr + b"FRAME\n" + f)
+    assert (w, h, nf, ns) == (4, 4, 1, 1) and mean == sum(range(16)) / 16
+    # three frames -> frames 0 and 2 sampled; per-frame params tolerated
+    buf = hdr + b"FRAME\n" + f + b"FRAME Xfoo\n" + f + b"FRAME\n" + f
+    assert _parse_y4m(buf)[2:4] == (3, 2)
+    # param order free; C420mpeg2 counts as 420
+    assert _parse_y4m(
+        b"YUV4MPEG2 C420mpeg2 H4 W4\nFRAME\n" + f
+    )[:2] == (4, 4)
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        _parse_y4m(b"YUV4MPEG1 W4 H4\nFRAME\n" + f)
+    with pytest.raises(ValueError, match="missing W or H"):
+        _parse_y4m(b"YUV4MPEG2 W4\nFRAME\n" + f)
+    with pytest.raises(ValueError, match="only C420"):
+        _parse_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(48))
+    with pytest.raises(ValueError, match="odd C420"):
+        _parse_y4m(b"YUV4MPEG2 W3 H4 C420\nFRAME\n" + f)
+    with pytest.raises(ValueError, match="junk at frame boundary"):
+        _parse_y4m(hdr + b"FRAME\n" + f + b"garbage")
+    with pytest.raises(ValueError, match="truncated frame"):
+        _parse_y4m(hdr + b"FRAME\n" + f[:-1])
+    with pytest.raises(ValueError, match="no frames"):
+        _parse_y4m(hdr)
+    with pytest.raises(ValueError, match="unterminated FRAME"):
+        _parse_y4m(hdr + b"FRAME")
+
+
+def test_y4m_parser_roundtrip_fuzz():
+    """Property: any (even dims, frame count, raster) packed per the Y4M
+    grammar parses back to exact sampled-luma statistics. Deterministic
+    seed, no Spark."""
+    import random
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.multimodal import (
+        Y4M_SAMPLE_EVERY,
+        _parse_y4m,
+    )
+
+    rng = random.Random(20260815)
+    for _ in range(200):
+        w, h = rng.choice([2, 4, 6, 8]), rng.choice([2, 4, 6])
+        nf = rng.randint(1, 6)
+        fsz, ysz = w * h * 3 // 2, w * h
+        frames = [
+            bytes(rng.randrange(256) for _ in range(fsz)) for _ in range(nf)
+        ]
+        buf = f"YUV4MPEG2 W{w} H{h} F30:1 C420\n".encode()
+        for fr in frames:
+            buf += b"FRAME\n" + fr
+        got = _parse_y4m(buf)
+        sampled = frames[::Y4M_SAMPLE_EVERY]
+        want_mean = sum(sum(fr[:ysz]) for fr in sampled) / (len(sampled) * ysz)
+        assert got == (w, h, nf, len(sampled), want_mean)
