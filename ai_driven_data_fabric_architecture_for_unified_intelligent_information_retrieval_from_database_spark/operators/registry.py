@@ -75,7 +75,6 @@ SAMPLE_PRIORITY: list[str] = [
     "streaming_cdc_upsert",
     "text_quality_calibrated",
     "dedup_minhash_incremental",
-    "pipeline_datacard_manifest",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",
     "text_lang_id",
@@ -123,6 +122,10 @@ SAMPLE_PRIORITY: list[str] = [
     # driver sample ---
     "events_funnel_conversion",
     "graph_pagerank_parts",
+    # datacard manifest: new, but every component (quality kernel,
+    # normalized fingerprints, counts) is driver-verified through other
+    # entries — yields its front slot so the r03-stale tail fits
+    "pipeline_datacard_manifest",
     # --- oldest r04 head (padding past the window) ---
     "dedup_exact",
     "dedup_normalized_groups",
