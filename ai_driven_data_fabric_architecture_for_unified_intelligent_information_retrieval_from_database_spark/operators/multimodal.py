@@ -851,3 +851,164 @@ def multimodal_decode_y4m_real(spark, t):
     return decode_y4m_real(
         t["documents"].select("doc_id", y4m_payload().alias("payload"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Tri-modal dispatch: one binary column, one kernel, three real decoders
+# ---------------------------------------------------------------------------
+
+MODAL_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes bigint, d1 int, d2 int, "
+    "n_units bigint, mean_signal double"
+)
+
+
+def _make_modal_dispatch_kernel():
+    """One kernel that sniffs magic bytes and routes to the REAL parser
+    for each modality — image (PNM), audio (WAV), video (Y4M) — emitting
+    a unified stats row. The per-format parsers are obtained as fresh
+    LOCAL closures from their factories at build time, so the whole
+    dispatch pickles by value (no module import on workers)."""
+    parse_pnm, _ = _make_ppm_kernel()
+    parse_wav, _ = _make_wav_kernel()
+    parse_y4m, _ = _make_y4m_kernel()
+
+    def dispatch(buf: bytes) -> tuple:
+        if buf[:2] in (b"P5", b"P6"):
+            w, h, ch, mean = parse_pnm(buf)
+            return ("image", w, h, w * h * ch, mean)
+        if buf[:4] == b"RIFF":
+            rate, ch, n, mean = parse_wav(buf)
+            return ("audio", rate, ch, n * ch, mean)
+        if buf[:9] == b"YUV4MPEG2":
+            w, h, _nf, ns, mean = parse_y4m(buf)
+            return ("video", w, h, ns * w * h, mean)
+        raise ValueError(f"no decoder for magic {buf[:9]!r}")
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                modality, d1, d2, n_units, mean = dispatch(buf)
+                rows.append((doc_id, modality, len(buf), d1, d2, n_units, mean))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "modality", "n_bytes", "d1", "d2",
+                    "n_units", "mean_signal",
+                ],
+            )
+
+    return dispatch, decode
+
+
+_modal_dispatch, _MODAL_DISPATCH_KERNEL = _make_modal_dispatch_kernel()
+
+
+def decode_any_modality(df: DataFrame) -> DataFrame:
+    """The production multimodal-ingest shape: ONE binary column carrying
+    heterogeneous modalities, ONE Arrow-batched decode stage routing on
+    magic bytes to the real per-format parsers. Unknown formats raise
+    loudly; a deployment tolerating them routes those payloads through
+    :func:`decode_stub_features` explicitly before this stage."""
+    return df.mapInPandas(_MODAL_DISPATCH_KERNEL, schema=MODAL_SCHEMA)
+
+
+@query(
+    "multimodal_decode_any",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id,
+                   LENGTH(text) % 13 + 4 AS w,
+                   RPAD(SUBSTRING(text, 1,
+                            (LENGTH(text) % 13 + 4) * {PPM_HEIGHT * 3}),
+                        CAST((LENGTH(text) % 13 + 4)
+                             * {PPM_HEIGHT * 3} AS INT), ' ') AS px
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        img_rows AS (
+            SELECT doc_id, 'image' AS modality,
+                   CAST(LENGTH('P6' || CHR(10) || w || ' {PPM_HEIGHT}'
+                               || CHR(10) || '255' || CHR(10))
+                        + w * {PPM_HEIGHT * 3} AS BIGINT) AS n_bytes,
+                   CAST(w AS INT) AS d1, {PPM_HEIGHT} AS d2,
+                   CAST(w * {PPM_HEIGHT * 3} AS BIGINT) AS n_units,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(1, w * {PPM_HEIGHT * 3} + 1),
+                                           i -> ASCII(SUBSTRING(px, i, 1))))
+                       / CAST(w * {PPM_HEIGHT * 3} AS DOUBLE) AS mean_signal
+            FROM img
+        ),
+        aud AS (
+            SELECT doc_id,
+                   LEAST(LENGTH(text), {WAV_MAX_SAMPLES}) AS n,
+                   SUBSTRING(text, 1, {WAV_MAX_SAMPLES}) AS px
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        aud_rows AS (
+            SELECT doc_id, 'audio' AS modality,
+                   CAST(44 + n * 2 AS BIGINT) AS n_bytes,
+                   {WAV_RATE} AS d1, 1 AS d2,
+                   CAST(n AS BIGINT) AS n_units,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(1, n + 1),
+                                           i -> ASCII(SUBSTRING(px, i, 1))))
+                       / CAST(n AS DOUBLE) AS mean_signal
+            FROM aud
+        ),
+        vid AS (
+            SELECT doc_id,
+                   GREATEST(LEAST(LENGTH(text) // {Y4M_FRAME_BYTES},
+                                  {Y4M_MAX_FRAMES}), 1) AS nf,
+                   text
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        vid_p AS (
+            SELECT doc_id, nf,
+                   RPAD(SUBSTRING(text, 1, nf * {Y4M_FRAME_BYTES}),
+                        CAST(nf * {Y4M_FRAME_BYTES} AS INT), ' ') AS px,
+                   (nf + 1) // {Y4M_SAMPLE_EVERY} AS ns
+            FROM vid
+        ),
+        vid_rows AS (
+            SELECT doc_id, 'video' AS modality,
+                   CAST(LENGTH('YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 C420')
+                        + 1 + nf * (6 + {Y4M_FRAME_BYTES}) AS BIGINT) AS n_bytes,
+                   {Y4M_W} AS d1, {Y4M_H} AS d2,
+                   CAST(ns * {Y4M_W * Y4M_H} AS BIGINT) AS n_units,
+                   LIST_SUM(LIST_TRANSFORM(
+                       LIST_FILTER(RANGE(0, nf * {Y4M_FRAME_BYTES}),
+                           i -> (i % {Y4M_FRAME_BYTES}) < {Y4M_W * Y4M_H}
+                                AND ((i // {Y4M_FRAME_BYTES})
+                                     % {Y4M_SAMPLE_EVERY}) = 0),
+                       i -> ASCII(SUBSTRING(px, CAST(i + 1 AS INT), 1))))
+                       / CAST(ns * {Y4M_W * Y4M_H} AS DOUBLE) AS mean_signal
+            FROM vid_p
+        )
+        SELECT * FROM img_rows
+        UNION ALL SELECT * FROM aud_rows
+        UNION ALL SELECT * FROM vid_rows
+    """,
+    covers="pipeline: tri-modal ingest — ONE binary column carrying "
+    "image/audio/video payloads, ONE Arrow-batched decode stage routing "
+    "on magic bytes to the three REAL parsers (the production "
+    "heterogeneous-media ingest shape)",
+)
+def multimodal_decode_any(spark, t):
+    """Heterogeneous-media ingest, end to end: each document synthesizes
+    a different REAL modality by doc_id % 3 (P6 image / PCM WAV / C420
+    Y4M — all JVM-side), and a single decode stage sniffs the magic and
+    routes to the real parser, emitting unified (modality, dims, units,
+    mean-signal) stats. The oracle reconstructs all three modalities'
+    statistics independently and the driver hash-checks the union — so
+    the dispatch, every container grammar, and every raster reduction
+    are value-verified in one entry."""
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, ppm_payload())
+        .when(F.col("doc_id") % 3 == 1, wav_payload())
+        .otherwise(y4m_payload())
+    )
+    return decode_any_modality(
+        t["documents"].select("doc_id", payload.alias("payload"))
+    )

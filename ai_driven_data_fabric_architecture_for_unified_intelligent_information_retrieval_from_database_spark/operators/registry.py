@@ -66,8 +66,7 @@ SAMPLE_PRIORITY: list[str] = [
     # --- round-8 churn ---
     "cdc_merge_pruned",
     "multimodal_decode_pnm_dispatch",
-    "multimodal_decode_wav_real",
-    "multimodal_decode_y4m_real",
+    "multimodal_decode_any",
     "multimodal_resize_plan",
     "sampling_pack_context_windows",
     "embedding_quantize_error",
@@ -122,9 +121,13 @@ SAMPLE_PRIORITY: list[str] = [
     # driver sample ---
     "events_funnel_conversion",
     "graph_pagerank_parts",
-    # datacard manifest: new, but every component (quality kernel,
-    # normalized fingerprints, counts) is driver-verified through other
-    # entries — yields its front slot so the r03-stale tail fits
+    # these three are new but their checks ride through other front
+    # entries (decode_any exercises the WAV and Y4M parsers and their
+    # stats math; the manifest's components — quality kernel, normalized
+    # fingerprints, counts — are driver-verified elsewhere): they yield
+    # their front slots so the r03-stale tail fits the ~50 sample
+    "multimodal_decode_wav_real",
+    "multimodal_decode_y4m_real",
     "pipeline_datacard_manifest",
     # --- oldest r04 head (padding past the window) ---
     "dedup_exact",

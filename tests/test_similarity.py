@@ -486,3 +486,21 @@ def test_y4m_parser_roundtrip_fuzz():
         sampled = frames[::Y4M_SAMPLE_EVERY]
         want_mean = sum(sum(fr[:ysz]) for fr in sampled) / (len(sampled) * ysz)
         assert got == (w, h, nf, len(sampled), want_mean)
+
+
+def test_modal_dispatch_routes_all_three(spark):
+    """The tri-modal entry must emit exactly one modality per doc_id % 3
+    class, with positive unit counts, and reject unknown magic loudly."""
+    import pytest
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.multimodal import (
+        _modal_dispatch,
+    )
+
+    rows = queries()["multimodal_decode_any"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    want = {0: "image", 1: "audio", 2: "video"}
+    assert all(r.modality == want[r.doc_id % 3] for r in rows)
+    assert all(r.n_units > 0 and r.n_bytes > 0 for r in rows)
+    with pytest.raises(ValueError, match="no decoder for magic"):
+        _modal_dispatch(b"\x89PNG\r\n\x1a\n....")
