@@ -17,9 +17,13 @@ from ..functions.numerics import sql_stable_sum, stable_sum
 from .registry import query
 
 #: The synthetic change feed, shared by the Spark plan and the oracle:
-#: one update, one delete, and one insert slice of orders, keyed so the
-#: slices are disjoint and insert keys cannot collide with live keys.
+#: one update, one delete, and one insert slice of orders. Insert keys
+#: are offset by MAX(o_orderkey) — disjoint from live keys AT ANY SCALE
+#: (a fixed 1e9 literal collides once orderkeys pass 1e9, TPC-H sf ~167;
+#: r08 review finding) — and the offset is a broadcast scalar on both
+#: engines.
 _CHANGES_SQL = """
+        kmx AS (SELECT MAX(o_orderkey) AS kmx FROM orders),
         changes AS (
             SELECT o_orderkey AS key, 'U' AS op,
                    o_totalprice + 100.0 AS price, 'U' AS status
@@ -29,9 +33,9 @@ _CHANGES_SQL = """
                    CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status
             FROM orders WHERE o_orderkey % 10 = 7
             UNION ALL
-            SELECT o_orderkey + 1000000000 AS key, 'I' AS op,
+            SELECT o_orderkey + kmx.kmx AS key, 'I' AS op,
                    o_totalprice AS price, 'N' AS status
-            FROM orders WHERE o_orderkey % 10 = 1
+            FROM orders CROSS JOIN kmx WHERE o_orderkey % 10 = 1
         )
 """
 
@@ -123,9 +127,9 @@ _CHANGES2_SQL = """
                    CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status
             FROM orders WHERE o_orderkey % 10 = 3
             UNION ALL
-            SELECT o_orderkey + 1000000000 AS key, 'U' AS op,
+            SELECT o_orderkey + kmx.kmx AS key, 'U' AS op,
                    o_totalprice * 2 AS price, 'M' AS status
-            FROM orders WHERE o_orderkey % 20 = 1
+            FROM orders CROSS JOIN kmx WHERE o_orderkey % 20 = 1
         )
 """
 
@@ -218,8 +222,10 @@ def cdc_merge_incremental(spark, t):
             )
         )
         .unionAll(
-            o.where(F.col("o_orderkey") % 20 == 1).select(
-                (F.col("o_orderkey") + 1_000_000_000).alias("key"),
+            o.where(F.col("o_orderkey") % 20 == 1)
+            .crossJoin(F.broadcast(_key_max(o)))
+            .select(
+                (F.col("o_orderkey") + F.col("kmx")).alias("key"),
                 F.lit("U").alias("op"),
                 (F.col("o_totalprice") * 2).alias("price"),
                 F.lit("M").alias("status"),
@@ -260,6 +266,7 @@ def cdc_merge_incremental(spark, t):
                    o_orderstatus AS status
             FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
         ),
+        mx AS (SELECT MAX(key) AS mx FROM touched),
         feed AS (
             SELECT key, 'U' AS op, price + 100.0 AS price, 'U' AS status
             FROM touched WHERE key % 10 = 3
@@ -268,8 +275,8 @@ def cdc_merge_incremental(spark, t):
                    CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status
             FROM touched WHERE key % 10 = 7
             UNION ALL
-            SELECT key + 1000000000 AS key, 'I' AS op, price, 'N' AS status
-            FROM touched WHERE key % 10 = 1
+            SELECT key + mx.mx AS key, 'I' AS op, price, 'N' AS status
+            FROM touched CROSS JOIN mx WHERE key % 10 = 1
         ),
         merged AS (
             SELECT COALESCE(c.key, s.key) AS key,
@@ -352,9 +359,16 @@ def cdc_merge_pruned(spark, t):
     touched_p = snap_t.where(F.col("o_year") == 1997).select(
         "key", "price", "status"
     )
+    # Synthetic insert keys are offset by the touched partition's MAX key
+    # (a broadcast scalar), not a fixed 1e9 literal: at TPC-H sf ~167+
+    # orderkeys pass 1e9 and a fixed offset would COLLIDE with live keys
+    # — the broadcast branch would then emit duplicate rows where the
+    # full-outer branch merges them (r08 review finding). mx + key > mx
+    # >= every touched key, at any scale.
+    mx = touched_p.agg(F.max("key").alias("mx"))
     k = F.col("key") % 10
-    feed = touched_p.where(k.isin(1, 3, 7)).select(
-        F.when(k == 1, F.col("key") + 1_000_000_000)
+    feed = touched_p.where(k.isin(1, 3, 7)).crossJoin(F.broadcast(mx)).select(
+        F.when(k == 1, F.col("key") + F.col("mx"))
         .otherwise(F.col("key"))
         .alias("key"),
         F.when(k == 3, F.lit("U"))
@@ -417,6 +431,12 @@ def cdc_merge_pruned(spark, t):
     )
 
 
+def _key_max(o):
+    """Broadcast scalar MAX(o_orderkey): the synthetic-insert key offset
+    (any-scale disjointness — see _CHANGES_SQL)."""
+    return o.agg(F.max("o_orderkey").alias("kmx"))
+
+
 def _changes_batch1(o):
     """The :data:`_CHANGES_SQL` feed as a DataFrame (shared with
     :func:`cdc_merge_apply`)."""
@@ -432,11 +452,15 @@ def _changes_batch1(o):
         F.lit(None).cast("double").alias("price"),
         F.lit(None).cast("string").alias("status"),
     )
-    ins = o.where(F.col("o_orderkey") % 10 == 1).select(
-        (F.col("o_orderkey") + 1_000_000_000).alias("key"),
-        F.lit("I").alias("op"),
-        F.col("o_totalprice").alias("price"),
-        F.lit("N").alias("status"),
+    ins = (
+        o.where(F.col("o_orderkey") % 10 == 1)
+        .crossJoin(F.broadcast(_key_max(o)))
+        .select(
+            (F.col("o_orderkey") + F.col("kmx")).alias("key"),
+            F.lit("I").alias("op"),
+            F.col("o_totalprice").alias("price"),
+            F.lit("N").alias("status"),
+        )
     )
     return upd.unionAll(dele).unionAll(ins)
 

@@ -782,18 +782,13 @@ def y4m_payload() -> F.Column:
     count scales with document length (capped at Y4M_MAX_FRAMES), raster
     bytes are the document's leading characters space-padded — so the
     oracle can reconstruct every sampled-luma statistic from the text."""
-    n = F.greatest(
-        F.least(
-            (F.length("text") / Y4M_FRAME_BYTES).cast("long"),
-            F.lit(Y4M_MAX_FRAMES).cast("long"),
-        ),
-        F.lit(1).cast("long"),
-    )
-    total = f"(GREATEST(LEAST(length(text) DIV {Y4M_FRAME_BYTES}, "
-    total += f"{Y4M_MAX_FRAMES}), 1) * {Y4M_FRAME_BYTES})"
+    # ONE SQL fragment for the frame count, interpolated everywhere it
+    # is needed (an unused Column twin of this expression drifted from
+    # the strings in the first cut — r08 review finding).
+    nf = f"GREATEST(LEAST(length(text) DIV {Y4M_FRAME_BYTES}, {Y4M_MAX_FRAMES}), 1)"
+    total = f"({nf} * {Y4M_FRAME_BYTES})"
     body = F.expr(
-        "aggregate(sequence(0, GREATEST(LEAST(length(text) DIV "
-        f"{Y4M_FRAME_BYTES}, {Y4M_MAX_FRAMES}), 1) - 1), '', "
+        f"aggregate(sequence(0, {nf} - 1), '', "
         "(acc, i) -> concat(acc, 'FRAME\\n', "
         f"substring(rpad(substring(text, 1, {total}), {total}, ' '), "
         f"i * {Y4M_FRAME_BYTES} + 1, {Y4M_FRAME_BYTES})))"

@@ -460,8 +460,12 @@ def _register_exit_cleanup(warehouse: str) -> None:
     per-session, so the directories are the only persistent state; rmtree
     is the complete cleanup. The 1h age-prune in
     :func:`prepare_table_location` stays as the backstop for SIGKILLed
-    processes, and derby.log/metastore_db residue in the cwd is removed
-    best-effort alongside."""
+    processes. ONLY this process's token-suffixed dirs are touched:
+    shared cwd files (derby.log, metastore_db) are deliberately left
+    alone — a concurrent sibling session in the same cwd may still hold
+    its Derby catalog open, and the first process to exit deleting it
+    would corrupt the survivor (r08 review finding); those files are
+    gitignored instead."""
     if warehouse in _EXIT_CLEANUP_WAREHOUSES:
         return
     _EXIT_CLEANUP_WAREHOUSES.add(warehouse)
@@ -475,12 +479,6 @@ def _register_exit_cleanup(warehouse: str) -> None:
     def _cleanup(warehouse=warehouse, token=token) -> None:
         for d in glob.glob(os.path.join(warehouse, f"*_{token}")):
             shutil.rmtree(d, ignore_errors=True)
-        for residue in ("derby.log", "metastore_db"):
-            p = os.path.join(os.getcwd(), residue)
-            try:
-                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
-            except OSError:
-                pass
 
     atexit.register(_cleanup)
 

@@ -347,18 +347,33 @@ def streaming_cdc_upsert(spark, sf_dir):
     deployment points the merge at the bucketed or partitioned target
     (cdc_merge_incremental / cdc_merge_pruned) so the snapshot side
     stops shuffling — same foreachBatch, different target layout."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from ..sources.catalog import register_views
+    from .scale import _cached_layout, _corpus_digest
 
     register_views(spark, sf_dir)
-    stage = tempfile.mkdtemp(prefix="cdc_stream_parts_")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    raw.repartition(4).write.mode("overwrite").parquet(stage)
+    # The 4-part staged replay is a LAYOUT of the corpus: written once per
+    # corpus through the shared digest-keyed cache (the r08 review found
+    # a fresh mkdtemp full-corpus rewrite leaking per invocation — the
+    # same leftover-dirs class the warehouse exit cleanup fixed).
+    stage = _cached_layout(
+        "/tmp/cdc_stream_parts_cache",
+        _corpus_digest(raw),
+        "events_4part",
+        lambda p: raw.repartition(4).write.mode("overwrite").parquet(p),
+    )
 
     ev = sw.events_stream_from_dir(spark, sf_dir, stage, max_files_per_trigger=1)
+    # State versions are per-invocation scratch: the final version must
+    # outlive this function (the returned DataFrame reads it lazily), so
+    # removal is deferred to interpreter exit.
     ver_root = tempfile.mkdtemp(prefix="cdc_upsert_state_")
+    atexit.register(shutil.rmtree, ver_root, ignore_errors=True)
     state = {"path": None}
 
     def _merge(batch_df, batch_id):

@@ -767,17 +767,20 @@ def text_unigram_surprisal(spark, t):
     values. Integer floor-division is bit-exact on both engines, and
     per-token inverse probability orders tokens identically to -ln p.
 
-    Plan shape (the tfidf discipline, plan-gated in tests/test_plans.py):
-    ONE corpus explode feeds a per-(doc, term) tf rollup, and BOTH the
-    vocabulary counts and the corpus total derive from that rollup's
-    exchange — never from a second corpus scan (the first cut scanned
-    documents three times; Catalyst reuses the tf exchange for the join
-    side and the freq rollup). The vocabulary relation grows sublinearly
-    with the corpus and broadcasts into the scoring join; the per-doc
-    rollup re-aggregates tf-grain rows. No text bodies move after the
-    explode — every shuffle carries (token, count) pairs. Per-term
-    products stay in int64 range to ~1e13 corpus tokens x 1e3-token
-    docs (1e16 < 2^63)."""
+    Plan shape (the tfidf discipline): ONE corpus explode feeds a
+    per-(doc, term) tf rollup, and BOTH the vocabulary counts and the
+    corpus total derive from that rollup's exchange — never from a
+    second corpus scan (the first cut scanned documents three times;
+    AQE's runtime stage reuse collapses the tf subtrees, verified
+    ReusedExchange=2 in the FINAL adaptive plan — the pre-execution
+    tree hides it). The vocabulary join is cost-chosen exactly like
+    tfidf's: broadcast while the vocabulary fits the budget, term-key
+    shuffle join past it (10^8+-term web-corpus vocabularies). The
+    per-doc rollup re-aggregates tf-grain rows; no text bodies move
+    after the explode. Per-term products stay in int64 range to ~1e13
+    corpus tokens x 1e3-token docs (1e16 < 2^63)."""
+    from .relational import _fits_broadcast
+
     inst = (
         t["documents"]
         .select("doc_id", F.explode(words_col()).alias("w"))
@@ -791,8 +794,10 @@ def text_unigram_surprisal(spark, t):
     # close enough to that line that exact-by-construction is the only
     # defensible form (DuckDB's // is integer division already).
     units = F.expr("total DIV c")
+    if _fits_broadcast(spark, freq):
+        freq = F.broadcast(freq)
     return (
-        tf.join(F.broadcast(freq), "w")
+        tf.join(freq, "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
