@@ -531,3 +531,65 @@ def events_markov_transitions(spark, t):
         "n",
         (F.col("n").cast("double") / F.col("n_out")).alias("prob"),
     )
+
+
+@query(
+    "events_funnel_timeboxed",
+    oracle="""
+        WITH fv AS (
+            SELECT user_id, MIN(ts) AS first_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        conv AS (
+            SELECT f.user_id
+            FROM fv f JOIN events e
+              ON e.user_id = f.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts > f.first_view
+             AND e.ts <= f.first_view + INTERVAL 7 DAY
+            GROUP BY f.user_id
+        )
+        SELECT CAST(f.first_view AS DATE) AS view_day,
+               COUNT(*) AS n_viewers,
+               CAST(COUNT(c.user_id) AS BIGINT) AS n_converted
+        FROM fv f LEFT JOIN conv c ON f.user_id = c.user_id
+        GROUP BY 1
+    """,
+    covers="expansion 2.4/2.8: TIME-BOXED conversion funnel (attribution "
+    "window — converted iff a purchase lands within 7 days of the first "
+    "view), cohorted by first-view day",
+)
+def events_funnel_timeboxed(spark, t):
+    """The attribution-window form of the conversion funnel — the number
+    product analytics actually reports: a viewer counts as converted only
+    if a purchase lands within 7 days AFTER their first view, cohorted by
+    first-view day. Same one-scan/one-aggregate plan as
+    events_funnel_conversion (conditional MIN + sorted purchase array per
+    user in a single pass; the window bound is one more predicate in the
+    codegen'd array probe), then a day-grain rollup — two exchanges
+    total, the second dimension-sized. The oracle takes the classic
+    two-join SQL form, so the array-probe shortcut is value-verified
+    against the textbook plan."""
+    ev = t["events"].where(F.col("event_type").isin("view", "purchase"))
+    g = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("ps"),
+    )
+    bound = F.col("first_view") + F.expr("INTERVAL 7 DAYS")
+    converted = F.exists(
+        "ps", lambda x: (x > F.col("first_view")) & (x <= bound)
+    )
+    return (
+        g.where(F.col("first_view").isNotNull())
+        .groupBy(F.col("first_view").cast("date").alias("view_day"))
+        .agg(
+            F.count("*").alias("n_viewers"),
+            F.sum(converted.cast("long")).alias("n_converted"),
+        )
+    )

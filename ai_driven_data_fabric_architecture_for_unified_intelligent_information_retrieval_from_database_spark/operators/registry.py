@@ -74,6 +74,7 @@ SAMPLE_PRIORITY: list[str] = [
     "streaming_cdc_upsert",
     "text_quality_calibrated",
     "dedup_minhash_incremental",
+    "events_funnel_timeboxed",
     # --- fell off the r07 window (last green r02) ---
     "range_join_price_bands",
     "text_lang_id",
