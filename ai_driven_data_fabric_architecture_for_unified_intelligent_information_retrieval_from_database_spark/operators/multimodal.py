@@ -609,15 +609,21 @@ def _le_hex(col: F.Column, n_bytes: int) -> F.Column:
 
 def wav_payload() -> F.Column:
     """A valid 16-bit mono PCM WAV per document, built entirely JVM-side:
-    samples are the document's leading character codes (capped at
-    WAV_MAX_SAMPLES), so the oracle can reconstruct every statistic from
-    the text. The whole container is assembled as hex and un-hexed once."""
-    n = F.least(F.length("text"), F.lit(WAV_MAX_SAMPLES)).cast("long")
+    samples are the document's leading character codes modulo 256 (capped
+    at WAV_MAX_SAMPLES, space-padded to at least one sample like the
+    PNM/Y4M builders — empty text would otherwise emit an empty data
+    chunk the parser loudly rejects, and codepoints > 255 would silently
+    truncate through lpad(hex(..), 2)), so the oracle can reconstruct
+    every statistic from the text. The whole container is assembled as
+    hex and un-hexed once."""
+    n_sql = f"GREATEST(LEAST(length(text), {WAV_MAX_SAMPLES}), 1)"
+    n = F.expr(n_sql).cast("long")
     data_sz = n * 2
     riff_sz = data_sz + 36
     sample_hex = F.expr(
-        f"array_join(transform(split(substring(text, 1, {WAV_MAX_SAMPLES}), ''),"
-        " c -> concat(lpad(hex(ascii(c)), 2, '0'), '00')), '')"
+        f"array_join(transform("
+        f"split(rpad(substring(text, 1, {WAV_MAX_SAMPLES}), {n_sql}, ' '), ''),"
+        " c -> concat(lpad(hex(pmod(ascii(c), 256)), 2, '0'), '00')), '')"
     )
     hdr = F.concat(
         F.lit("52494646"),                    # 'RIFF'
@@ -639,8 +645,11 @@ def wav_payload() -> F.Column:
     oracle=f"""
         WITH g AS (
             SELECT doc_id,
-                   LEAST(LENGTH(text), {WAV_MAX_SAMPLES}) AS n,
-                   SUBSTRING(text, 1, {WAV_MAX_SAMPLES}) AS px
+                   GREATEST(LEAST(LENGTH(text), {WAV_MAX_SAMPLES}), 1) AS n,
+                   RPAD(SUBSTRING(text, 1, {WAV_MAX_SAMPLES}),
+                        CAST(GREATEST(LEAST(LENGTH(text),
+                                            {WAV_MAX_SAMPLES}), 1) AS INT),
+                        ' ') AS px
             FROM documents
         )
         SELECT doc_id,
@@ -649,7 +658,7 @@ def wav_payload() -> F.Column:
                1 AS channels,
                CAST(n AS BIGINT) AS n_samples,
                LIST_SUM(LIST_TRANSFORM(RANGE(1, n + 1),
-                                       i -> ASCII(SUBSTRING(px, i, 1))))
+                                       i -> ASCII(SUBSTRING(px, i, 1)) % 256))
                    / CAST(n AS DOUBLE) AS mean_amplitude
         FROM g
     """,
@@ -811,7 +820,7 @@ def y4m_payload() -> F.Column:
             SELECT doc_id, nf,
                    RPAD(SUBSTRING(text, 1, nf * {Y4M_FRAME_BYTES}),
                         CAST(nf * {Y4M_FRAME_BYTES} AS INT), ' ') AS px,
-                   (nf + 1) // {Y4M_SAMPLE_EVERY} AS ns
+                   (nf + {Y4M_SAMPLE_EVERY - 1}) // {Y4M_SAMPLE_EVERY} AS ns
             FROM g
         )
         SELECT doc_id,
@@ -938,8 +947,11 @@ def decode_any_modality(df: DataFrame) -> DataFrame:
         ),
         aud AS (
             SELECT doc_id,
-                   LEAST(LENGTH(text), {WAV_MAX_SAMPLES}) AS n,
-                   SUBSTRING(text, 1, {WAV_MAX_SAMPLES}) AS px
+                   GREATEST(LEAST(LENGTH(text), {WAV_MAX_SAMPLES}), 1) AS n,
+                   RPAD(SUBSTRING(text, 1, {WAV_MAX_SAMPLES}),
+                        CAST(GREATEST(LEAST(LENGTH(text),
+                                            {WAV_MAX_SAMPLES}), 1) AS INT),
+                        ' ') AS px
             FROM documents WHERE doc_id % 3 = 1
         ),
         aud_rows AS (
@@ -948,7 +960,7 @@ def decode_any_modality(df: DataFrame) -> DataFrame:
                    {WAV_RATE} AS d1, 1 AS d2,
                    CAST(n AS BIGINT) AS n_units,
                    LIST_SUM(LIST_TRANSFORM(RANGE(1, n + 1),
-                                           i -> ASCII(SUBSTRING(px, i, 1))))
+                                           i -> ASCII(SUBSTRING(px, i, 1)) % 256))
                        / CAST(n AS DOUBLE) AS mean_signal
             FROM aud
         ),
@@ -963,7 +975,7 @@ def decode_any_modality(df: DataFrame) -> DataFrame:
             SELECT doc_id, nf,
                    RPAD(SUBSTRING(text, 1, nf * {Y4M_FRAME_BYTES}),
                         CAST(nf * {Y4M_FRAME_BYTES} AS INT), ' ') AS px,
-                   (nf + 1) // {Y4M_SAMPLE_EVERY} AS ns
+                   (nf + {Y4M_SAMPLE_EVERY - 1}) // {Y4M_SAMPLE_EVERY} AS ns
             FROM vid
         ),
         vid_rows AS (

@@ -352,7 +352,11 @@ def sampling_pack_context_windows(spark, t):
     return (
         placed.groupBy(
             F.col("shard_id").cast("long").alias("shard_id"),
-            F.floor(F.col("start_tok") / budget).alias("window_id"),
+            # integer DIV, not floor(double /): exact by construction at any
+            # offset magnitude — the same determinism rule the surprisal
+            # entry documents (floor over a double quotient drifts near
+            # 2^53; irrelevant at test sizes, wrong discipline at 100 TB).
+            F.expr(f"start_tok DIV {budget}").alias("window_id"),
         )
         .agg(
             F.count("*").alias("n_docs"),
@@ -481,6 +485,52 @@ def _register_exit_cleanup(warehouse: str) -> None:
             shutil.rmtree(d, ignore_errors=True)
 
     atexit.register(_cleanup)
+
+
+def prune_stale_warehouse(warehouse: str | None = None) -> int:
+    """Prune dead processes' token-suffixed warehouse dirs AT STARTUP.
+
+    The atexit cleanup (:func:`_register_exit_cleanup`) handles graceful
+    exits and the in-write age-prune (:func:`prepare_table_location`)
+    handles long sessions, but a SIGKILLed predecessor's ``bk_*``/``cdc_*``
+    dirs survive a whole later session if that session never happens to
+    write the same table family (r08 verdict item 7). Called once from
+    conftest/bench startup: a dir whose embedded pid is DEAD is residue
+    and goes immediately; a dir whose pid is alive (another live session,
+    or a recycled pid) is only pruned past the 1 h last-use age guard —
+    the same never-race-a-live-session rule the digest cache follows.
+    Returns the number of dirs removed."""
+    import os
+    import re
+    import shutil
+    import time
+
+    if warehouse is None:
+        warehouse = os.path.join(os.getcwd(), "spark-warehouse")
+    if not os.path.isdir(warehouse):
+        return 0
+    token_re = re.compile(r"_(\d+)_[0-9a-f]{6}$")
+    removed, now = 0, time.time()
+    for d in os.listdir(warehouse):
+        m = token_re.search(d)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        full = os.path.join(warehouse, d)
+        try:
+            os.kill(int(m.group(1)), 0)
+            alive = True
+        except ProcessLookupError:
+            alive = False
+        except OSError:
+            alive = True  # EPERM et al.: assume live, fall to the age guard
+        try:
+            old = now - os.path.getmtime(full) > _PRUNE_MIN_AGE_S
+        except OSError:
+            continue
+        if not alive or old:
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def _session_token() -> str:

@@ -308,8 +308,14 @@ def streaming_sliding_halfhour(spark, sf_dir):
     oracle="""
         WITH ranked AS (
             SELECT user_id, ts, event_id, event_type,
+                   -- tiebreak chain mirrors the Spark max(struct(ts,
+                   -- event_id, event_type)) EXACTLY: if (user_id, ts,
+                   -- event_id) were ever non-unique, a two-column ORDER BY
+                   -- would leave the oracle nondeterministic while the
+                   -- struct-max still compared event_type.
                    ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY ts DESC, event_id DESC) AS rn,
+                                      ORDER BY ts DESC, event_id DESC,
+                                               event_type DESC) AS rn,
                    COUNT(*) OVER (PARTITION BY user_id) AS n_events
             FROM events
         )

@@ -16,7 +16,14 @@ def spark():
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark import (
         get_spark,
     )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
+        prune_stale_warehouse,
+    )
 
+    # Startup hygiene: a SIGKILLed predecessor's token-suffixed warehouse
+    # dirs otherwise survive the whole session (the atexit cleanup never
+    # ran for it, and the in-write age-prune only fires per table family).
+    prune_stale_warehouse()
     # Small local session for tests: fewer cores/partitions than the bench
     # config so the suite stays fast on tiny data.
     spark = get_spark(

@@ -218,6 +218,50 @@ spark.stop()
     assert not leftovers, leftovers
 
 
+def test_prune_stale_warehouse_on_start(tmp_path):
+    """Startup prune (r08 verdict item 7): a SIGKILLed predecessor's
+    token-suffixed dirs must be removed as soon as any new process starts —
+    dead-pid dirs immediately, live-pid dirs only past the 1 h age guard,
+    non-token dirs never."""
+    import os
+    import time
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
+        prune_stale_warehouse,
+    )
+
+    wh = tmp_path / "spark-warehouse"
+    wh.mkdir()
+    # Find a pid that is certainly dead (walk down from a huge value).
+    dead = None
+    for cand in range(2 ** 22 - 1, 2 ** 22 - 4096, -1):
+        try:
+            os.kill(cand, 0)
+        except ProcessLookupError:
+            dead = cand
+            break
+        except OSError:
+            continue
+    assert dead is not None
+    (wh / f"bk_orders_abc123_{dead}_a1b2c3").mkdir()          # dead: prune
+    (wh / f"cdc_base_def456_{os.getpid()}_ffffff").mkdir()    # ours: keep
+    live_recent = wh / "bk_cust_abc_1_0a0b0c"                 # pid 1 alive
+    live_recent.mkdir()
+    live_old = wh / "cdc_inc_xyz_1_0d0e0f"                    # alive but old
+    live_old.mkdir()
+    os.utime(live_old, (time.time() - 7200, time.time() - 7200))
+    (wh / "plain_table").mkdir()                              # no token: keep
+
+    removed = prune_stale_warehouse(str(wh))
+
+    left = sorted(os.listdir(wh))
+    assert removed == 2
+    assert left == sorted(
+        [f"cdc_base_def456_{os.getpid()}_ffffff", "bk_cust_abc_1_0a0b0c",
+         "plain_table"]
+    )
+
+
 def test_pack_context_windows_conserves_tokens(spark):
     """Packing must conserve token mass (every doc lands in exactly one
     window), keep window ids contiguous from 0 per shard, and never
