@@ -316,7 +316,25 @@ def dedup_cluster_representatives(spark, t):
 def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Connected components of an undirected (a_id, b_id) pair graph via
     min-label propagation; returns (node, label) with label = min node id
-    in the component. See dedup_components for the algorithmic notes."""
+    in the component. See dedup_components for the algorithmic notes.
+
+    Delta iteration (r08 verdict item 4 — the fixed cadence paid a full
+    labels-x-labels join per round just to COUNT changes, and re-sent
+    every node's label every round): each round propagates only from the
+    FRONTIER (nodes whose label changed last round), the change flag is
+    computed inline so convergence costs one filter-count over the
+    already-checkpointed result instead of a shuffle join, and the loop
+    exits the moment the frontier is empty. Frontier-only messaging is
+    correct for MIN propagation because labels only ever decrease: a
+    stable neighbor's label was already incorporated the round it last
+    changed (or at initialization). Same-process A/B at sf0.1 under the
+    bench config (see tools/components_ab.py): the verdict is recorded
+    there; semantics pinned unchanged by the DuckDB recursive-CTE oracle.
+    """
+    # NOTE: the self-union does NOT double-execute the pair build — the two
+    # branches share their exchanges (ReuseExchange), so pre-checkpointing
+    # ``pairs`` only adds a serialization step (measured slower in
+    # tools/components_ab.py's r09 interleave). Keep the union lazy.
     edges = pairs.unionAll(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).localCheckpoint()
@@ -326,9 +344,10 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    frontier = labels  # round 0: every node announces its own label
     for _ in range(max_rounds):
         neighbor_min = (
-            edges.join(labels, edges.b_id == labels.node)
+            edges.join(frontier, edges.b_id == frontier.node)
             .groupBy(edges.a_id)
             .agg(F.min("label").alias("nmin"))
         )
@@ -336,20 +355,16 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             labels.join(neighbor_min, labels.node == F.col("a_id"), "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        frontier = new_labels.where("chg").select("node", "label")
+        labels = new_labels.select("node", "label")
+        if frontier.count() == 0:
             break
     else:
         raise RuntimeError(

@@ -35,6 +35,20 @@ Arrow round-trip costs more than the hash agg it replaces). The struct
 form needs no partkey-width guard, so the production primitive
 (graph.copurchase_pair_counts) is JVM-only and scale-safe.
 
+Round-9 addendum — the apparent sf0.1 driver regression (r07 0.159 s on
+v0 -> r08 1.01 s on v4) was re-adjudicated under the EXACT bench
+small-scale config (AQE off, shuffle.partitions=8, 10 MB broadcast
+threshold, rechunked + page-cache-warmed sf0.1), both whole-query forms
+interleaved min-of-6 in ONE session: v0 0.800 s (passes 2.158, 1.129,
+0.913, 1.030, 0.800, 0.833), v4 0.737 s (1.334, 0.742, 0.849, 0.760,
+0.743, 0.737), outputs identical. v4 wins at sf0.1 under bench
+conditions too; the r07 0.159 s belongs to a faster host state
+(BASELINE.md's r07 host-drift control), not to the old form. NO cost
+gate: the shared-baskets form is the single shipped form at every
+scale. (The sf0.1 table above reads v0 2.29 / v4 1.16 because this
+harness uses the AQE-on/32-partition at-scale session, not the bench's
+small-scale one — same ordering, different floor.)
+
 Usage: python tools/basket_ab.py <sf_dir> [passes]
 """
 import os

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Round-9 A/B for min_label_components (dedup_components was the largest
+non-floor sf0.1 cell: 2.31 s in the r08 driver artifact).
+
+Forms (identical (doc_id, component) output verified per run):
+  v0_full_cadence  r01-r08 shipped form — every round joins ALL labels
+                   into the edge relation and pays a labels-x-labels
+                   shuffle join just to COUNT changed rows
+  v1_frontier      r09 form — propagate only from the frontier (nodes
+                   whose label changed last round; correct for MIN
+                   propagation because labels only decrease), change
+                   flag computed inline so convergence is one
+                   filter-count over the checkpointed result
+
+Measured 2026-08-15 (interleaved min-of-4, ONE session, EXACT bench
+small-scale config: AQE off, shuffle.partitions=8, 10 MB broadcast,
+rechunked + page-cache-warmed sf0.1; construction timed in full — the
+eager localCheckpoints ARE the work, bench.py's TIMED_CONSTRUCTION
+treatment):
+
+  sf0.1: v0 min 2.251 (passes 2.552, 2.492, 2.448, 2.251)
+         v1 min 2.158 (passes 2.401, 2.543, 2.158, 2.158)
+  (a second leg on a noisier host state read both at 2.462 — within the
+  day's drift; v1 was never slower in any interleaved pass pair)
+
+VERDICT: v1 ships. The sf0.1 gain is small (~4%) because the cell is
+~80% pair build — a phase split on the same session measured the
+exact-Jaccard inverted-index pair relation at 1.8-2.0 s steady vs
+~0.4 s for the whole label loop (2 rounds to converge on this corpus) —
+but the structural argument is the scale case: the full cadence
+re-shuffles EVERY node's label each round and pays a labels-x-labels
+join per round purely to count changes, while v1's round-2+ messages
+shrink to the still-moving near-clique members and convergence is a
+filter-count on already-checkpointed rows. Nothing to cost-gate: v1 is
+never worse.
+
+Also probed and REJECTED: localCheckpoint(pairs) before the self-union
+(hypothesis: the union's branches re-execute the pair build twice).
+They do not — ReuseExchange shares the build across branches, and the
+extra checkpoint only added a serialization step (interleaved min-of-5:
+ckpt 3.049 vs lazy 2.166 on the same session).
+
+Usage: python tools/components_ab.py [sf_dir] [passes]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import bench
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark import (
+    get_spark,
+)
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+    register_views,
+)
+from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
+    _jaccard_pair_df,
+    min_label_components,
+)
+
+
+def min_label_components_v0(pairs, max_rounds=50):
+    """The r01-r08 shipped form, kept verbatim for the A/B."""
+    edges = pairs.unionAll(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("a_id").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.b_id == labels.node)
+            .groupBy(edges.a_id)
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("a_id"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("did not converge")
+    return labels
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sf_dir = bench._rechunk(sf_dir)
+    bench._warm_page_cache(sf_dir)
+    spark = get_spark(
+        app_name="components-ab",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(256 * 1024 * 1024),
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+            "spark.driver.memory": "24g",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t = register_views(spark, sf_dir)
+    t["documents"].count()
+
+    def run(form):
+        pairs = _jaccard_pair_df(t).select("a_id", "b_id")
+        return form(pairs).select(
+            F.col("node").alias("doc_id"), F.col("label").alias("component")
+        )
+
+    r0 = sorted(tuple(r) for r in run(min_label_components_v0).collect())
+    r1 = sorted(tuple(r) for r in run(min_label_components).collect())
+    print("identical:", r0 == r1, "rows:", len(r0))
+    assert r0 == r1 and len(r0) > 0
+
+    res = {"v0_full_cadence": [], "v1_frontier": []}
+    forms = [
+        ("v0_full_cadence", min_label_components_v0),
+        ("v1_frontier", min_label_components),
+    ]
+    for _ in range(passes):
+        for name, form in forms:
+            # Construction IS the work here (eager localCheckpoint per
+            # round) — time it in full, exactly like bench.py's
+            # TIMED_CONSTRUCTION treatment of this cell.
+            t0 = time.perf_counter()
+            run(form).collect()
+            res[name].append(round(time.perf_counter() - t0, 3))
+    for name, vals in res.items():
+        print(f"{name}: min {min(vals)} passes {vals}")
+
+
+if __name__ == "__main__":
+    main()
