@@ -427,3 +427,134 @@ def streaming_cdc_upsert(spark, sf_dir):
         F.col("s.event_type").alias("last_event_type"),
         "n_events",
     )
+
+
+def merge_profile_state(snapshot: DataFrame, batch_latest: DataFrame) -> DataFrame:
+    """ONE steady-state MERGE pass of a keyed profile snapshot with one
+    micro-batch's latest rows: struct-max recency, counts accumulate.
+    Shared by the streaming_cdc_upsert_bucketed entry's foreachBatch and
+    the plan gate in tests/test_plans.py, so the tested plan shape — a
+    full-outer SortMergeJoin whose snapshot child is the bucketed scan
+    with ZERO exchange between them — can never drift from the one each
+    batch actually executes."""
+    merged = (
+        snapshot.alias("c")
+        .join(batch_latest.alias("b"), "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.when(
+                F.col("b.s").isNull() | (F.col("c.s") > F.col("b.s")),
+                F.col("c.s"),
+            )
+            .otherwise(F.col("b.s"))
+            .alias("s"),
+            (
+                F.coalesce(F.col("c.n_events"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("b.n_events"), F.lit(0).cast("long"))
+            ).alias("n_events"),
+        )
+    )
+    return merged
+
+
+@query_sfdir(
+    "streaming_cdc_upsert_bucketed",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC,
+                                               event_type DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events
+        )
+        SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+               event_type AS last_event_type,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM ranked WHERE rn = 1
+    """,
+    covers="2.9 + CDC STEADY STATE: continuous upsert ingest into a "
+    "BUCKETED snapshot — each micro-batch's MERGE reads the state with "
+    "zero snapshot-side exchange (only the delta shuffles, into the "
+    "bucket scheme) and writes it back bucketed without splitting files",
+)
+def streaming_cdc_upsert_bucketed(spark, sf_dir):
+    """The steady-state twin of streaming_cdc_upsert (r08 verdict item 5):
+    the same 4-micro-batch change stream, but foreachBatch MERGEs into a
+    snapshot persisted as a table BUCKETED on the merge key — the target
+    layout cdc_merge_incremental demonstrates for batch CDC, now driven
+    by the real streaming engine.
+
+    Per-batch plan shape (gated in tests/test_plans.py through the
+    shared :func:`merge_profile_state`): the full-outer SortMergeJoin
+    reads the bucketed state scan with NO exchange between join and scan
+    — only the micro-batch delta (small by definition) shuffles, into
+    the 16-bucket scheme — and the merge output is already
+    hash(user_id)-partitioned, so the bucketed write back splits no
+    files. Per-batch cost is O(|delta| shuffle + state rewrite), never
+    O(|state| shuffle): at 100 TB the demo's full state rewrite narrows
+    to touched partitions exactly as cdc_merge_pruned shows (a lakehouse
+    MERGE INTO's file skipping); the join itself already never
+    re-exchanges the big side. Batch-boundary invariance (struct-max +
+    count are associative/commutative across any batching) is what makes
+    the exact whole-corpus oracle legitimate — same argument as the
+    unbucketed entry, same shuffled-replay pin in tests/test_streaming.py.
+    Each batch writes a NEW bucketed table version and drops the previous
+    one after the write commits (vanilla parquet has no transaction log;
+    the version swap is the atomic step)."""
+    import os
+
+    from ..sources.catalog import register_views
+    from ..sources.sinks import write_bucketed
+    from .scale import (
+        _cached_layout,
+        _corpus_digest,
+        _session_token,
+        prepare_table_location,
+    )
+
+    register_views(spark, sf_dir)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stage = _cached_layout(
+        "/tmp/cdc_stream_parts_cache",
+        _corpus_digest(raw),
+        "events_4part",
+        lambda p: raw.repartition(4).write.mode("overwrite").parquet(p),
+    )
+    ev = sw.events_stream_from_dir(spark, sf_dir, stage, max_files_per_trigger=1)
+
+    digest = _corpus_digest(raw)
+    tok = _session_token()
+    state = {"tbl": None}
+
+    def _merge(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        batch_latest = batch_df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type")).alias("s"),
+            F.count("*").alias("n_events"),
+        )
+        if state["tbl"] is None:
+            merged = batch_latest
+        else:
+            merged = merge_profile_state(ss.table(state["tbl"]), batch_latest)
+        new_tbl = f"cdcsb_{digest}_v{batch_id}_{tok}"
+        prepare_table_location(ss, new_tbl, "cdcsb_")
+        write_bucketed(merged, new_tbl, "user_id", n_buckets=16, sort_col="user_id")
+        if state["tbl"] is not None:
+            ss.sql(f"DROP TABLE IF EXISTS {state['tbl']}")
+        state["tbl"] = new_tbl
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .queryName("reg_stream_cdc_upsert_bucketed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(state["tbl"]).select(
+        "user_id",
+        F.col("s.ts").cast("timestamp_ntz").alias("last_ts"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        "n_events",
+    )

@@ -496,6 +496,71 @@ def test_broadcast_gate_row_cap(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_streaming_cdc_bucketed_batch_plan_no_snapshot_exchange(spark):
+    """The steady-state streaming upsert's PER-BATCH merge (r08 verdict
+    item 5) must read its bucketed state with ZERO exchange on the
+    snapshot side. Gated through the shared merge_profile_state helper —
+    the exact plan each foreachBatch executes — against a real bucketed
+    state table and a small delta: the full-outer SortMergeJoin's
+    state-scan child has no Exchange between join and scan, and the delta
+    side is the only one that shuffles."""
+    from pyspark.sql import functions as F
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
+        _session_token,
+        prepare_table_location,
+    )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.streaming_entries import (
+        merge_profile_state,
+    )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.sinks import (
+        write_bucketed,
+    )
+
+    def profile(df):
+        return df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type")).alias("s"),
+            F.count("*").alias("n_events"),
+        )
+
+    ev = spark.createDataFrame(
+        [(i % 50, f"2024-01-01 0{i % 10}:00:00", i, "view") for i in range(200)],
+        "user_id long, ts_s string, event_id long, event_type string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "event_type")
+    tbl = f"cdcsb_plangate_{_session_token()}"
+    prepare_table_location(spark, tbl, "cdcsb_plangate")
+    write_bucketed(profile(ev), tbl, "user_id", n_buckets=16, sort_col="user_id")
+    try:
+        merged = merge_profile_state(
+            spark.table(tbl), profile(ev.where(F.col("event_id") % 7 == 0))
+        )
+        plan = merged._sc._jvm.PythonSQLUtils.explainString(
+            merged._jdf.queryExecution(), "formatted"
+        )
+        assert "SelectedBucketsCount: 16 out of 16" in plan, plan[:3000]
+        tree = plan.split("\n(1)", 1)[0].splitlines()
+        join_depth = None
+        subtree = []
+        for line in tree:
+            node = line.lstrip(" :+-")
+            depth = len(line) - len(node)
+            if "SortMergeJoin" in node and "FullOuter" in node:
+                join_depth = depth
+                continue
+            if join_depth is not None and depth > join_depth:
+                subtree.append(node)
+        assert join_depth is not None, plan[:3000]
+        scan_i = next(
+            (i for i, n in enumerate(subtree) if "Scan" in n and "cdcsb_" in n),
+            None,
+        )
+        assert scan_i is not None, f"no bucketed state scan in: {subtree}"
+        assert not any("Exchange" in n for n in subtree[:scan_i]), subtree
+        assert any("Exchange" in n for n in subtree[scan_i + 1:]), subtree
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_cdc_incremental_snapshot_side_no_exchange(spark):
     """The incremental CDC merge must read its bucketed snapshot with ZERO
     exchange on the snapshot side: the returned (second-batch) merge's
