@@ -29,6 +29,18 @@ _NL_CASES = {
         "docs_by_language",
     ),
     "nl_longest_documents": ("What are the 5 longest documents?", "longest_documents"),
+    "nl_docs_quality_floor": (
+        "How many documents per language clear the quality floor?",
+        "docs_quality_floor_by_lang",
+    ),
+    "nl_docs_duplicates": (
+        "How many exact duplicate documents does each source contain?",
+        "docs_duplicates_by_source",
+    ),
+    "nl_docs_avg_tokens": (
+        "What is the average document length in tokens per source?",
+        "docs_avg_tokens_by_source",
+    ),
     "nl_events_by_hour": ("How many events per hour?", "events_by_hour"),
     "nl_events_by_type": ("Give me the event breakdown by type", "events_by_type"),
     "nl_most_active_users": ("Who are the 8 most active users?", "most_active_users"),

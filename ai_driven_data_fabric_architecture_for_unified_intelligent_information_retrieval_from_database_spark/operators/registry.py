@@ -46,91 +46,42 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: regardless).  Round-window history lives in README.md ("Correctness window
 #: rotation").
 #:
-#: Round 8 window (r07 verdict task 5: front the longest-unverified tail).
-#: Composition per the standing churn-first rule:
-#: 1. everything round 8 TOUCHED — the new partition-pruned CDC merge,
-#:    the new P5/P6 format-dispatch decoder (replaces the retired
-#:    fabricated-feature stub entry), the re-pointed resize plan, the
-#:    three new pipeline ops (context-window packing, int8 quantization
-#:    error, unigram surprisal), and PageRank (its packed-key cache key
-#:    and AQE-off clone conf propagation both changed);
-#: 2. the 6 entries that fell off the r07 50-entry window (last green
-#:    r02) and the 33 remaining entries last driver-checked in r03 —
-#:    after this window no entry's last driver check is older than r04,
-#:    and the 29 r04 entries rotate in next round;
-#: 3. padding with the oldest r04 head (the tail past the driver's
-#:    ~50-entry sample falls off harmlessly; those entries lead the r09
-#:    rotation anyway).
+#: Round 9 window (r08 verdict task 1: every registered entry gets a
+#: driver-green row, none older than r06). Composition:
+#: 1. the 3 entries that have NEVER been driver-sampled (they yielded
+#:    their r08 slots to the stale tail; the verdict asks them fronted);
+#: 2. everything round 9 ADDED or value-touched — the new bucketed
+#:    streaming CDC upsert, the three curation-surface nl_* routes, the
+#:    WAV payload clamp/pad fix (decode_wav_real is in group 1;
+#:    decode_any's oracle changed with it), and the entries whose
+#:    operators were rewritten with values verified unchanged
+#:    (dedup_components/cluster_representatives frontier propagation,
+#:    PageRank clone sizing, pack_context_windows integer DIV,
+#:    streaming_cdc_upsert oracle tiebreak);
+#: 3. all 29 entries last driver-checked in r04 — after this window no
+#:    entry's last check is older than r06 (the r06 tail of 41 rotates
+#:    next round);
+#: 4. padding with the oldest r06 head past the ~50 sample.
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # --- round-8 churn ---
-    "cdc_merge_pruned",
-    "multimodal_decode_pnm_dispatch",
-    "multimodal_decode_any",
-    "multimodal_resize_plan",
-    "sampling_pack_context_windows",
-    "embedding_quantize_error",
-    "text_unigram_surprisal",
-    "streaming_cdc_upsert",
-    "text_quality_calibrated",
-    "dedup_minhash_incremental",
-    "events_funnel_timeboxed",
-    # --- fell off the r07 window (last green r02) ---
-    "range_join_price_bands",
-    "text_lang_id",
-    "text_token_count",
-    "text_word_frequency",
-    "timeseries_gap_fill",
-    "windowed_event_rate",
-    # --- last driver-checked r03 ---
-    "agg_approx_sketches",
-    "agg_string_concat_per_group",
-    "array_functions_embeddings",
-    "grouping_cube",
-    "grouping_rollup",
-    "multimodal_byte_stats",
-    "multimodal_chunking",
-    "multimodal_frame_sample",
-    "pivot_status_by_priority",
-    "sampling_deterministic_split",
-    "set_union_by_name",
-    "similarity_sign_lsh_buckets",
-    "skew_salted_group_count",
-    "skew_salted_join",
-    "streaming_daily_rollup",
-    "streaming_sessionize",
-    "streaming_view_purchase_join",
-    "text_bpe_token_estimate",
-    "text_fuzzy_name_pairs",
-    "text_shingle_stats",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_part_values",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_type_profit",
-    "window_first_last_value",
-    "window_ntile_percent_rank",
-    # --- round-8 churn whose VALUES are unchanged (plan/cache-only
-    # changes, outputs verified identical in the round's A/Bs) — behind
-    # the stale tail so all 39 r02/r03 entries stay inside the ~50-entry
-    # driver sample ---
-    "events_funnel_conversion",
-    "graph_pagerank_parts",
-    # these three are new but their checks ride through other front
-    # entries (decode_any exercises the WAV and Y4M parsers and their
-    # stats math; the manifest's components — quality kernel, normalized
-    # fingerprints, counts — are driver-verified elsewhere): they yield
-    # their front slots so the r03-stale tail fits the ~50 sample
+    # --- never driver-sampled (r08 verdict item 1) ---
     "multimodal_decode_wav_real",
     "multimodal_decode_y4m_real",
     "pipeline_datacard_manifest",
-    # --- oldest r04 head (padding past the window) ---
+    # --- round-9 new entries ---
+    "streaming_cdc_upsert_bucketed",
+    "nl_docs_quality_floor",
+    "nl_docs_duplicates",
+    "nl_docs_avg_tokens",
+    # --- round-9 churn (operators or oracles touched this round) ---
+    "multimodal_decode_any",
+    "sampling_pack_context_windows",
+    "streaming_cdc_upsert",
+    "dedup_components",
+    "dedup_cluster_representatives",
+    "graph_pagerank_parts",
+    # --- last driver-checked r04 ---
+    "events_funnel_conversion",
     "dedup_exact",
     "dedup_normalized_groups",
     "dedup_simhash",
@@ -138,6 +89,38 @@ SAMPLE_PRIORITY: list[str] = [
     "events_retention_cohorts",
     "lateral_topn_per_order",
     "events_path_trigrams",
+    "window_cume_dist_nth",
+    "unpivot_lineitem_measures",
+    "window_ratio_to_report",
+    "tpch_q1_pricing_summary",
+    "grouping_sets_explicit",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customers",
+    "dedup_ngram_jaccard",
+    "similarity_bucketed_ann",
+    "events_tumbling_window",
+    "events_user_outliers",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_length_histogram",
+    "partition_pruned_daily_read",
+    "sampling_stratified_quota",
+    "source_orc_roundtrip",
+    "streaming_user_profile",
+    "streaming_sliding_halfhour",
+    # --- oldest r06 head (padding past the ~50 window; these lead the
+    # r10 rotation with the rest of the r06 tail) ---
+    "scan_project_limit",
+    "project_all",
+    "project_computed_alias",
+    "filter_threshold_topk",
+    "filter_between",
+    "filter_ilike_lower",
+    "filter_ilike_operator",
+    "filter_not_null_group_count",
+    "filter_date_range",
+    "filter_year_extract",
 ]
 
 

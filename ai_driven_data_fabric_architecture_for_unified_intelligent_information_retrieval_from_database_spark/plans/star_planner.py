@@ -21,6 +21,34 @@ REVENUE = (
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
 )
 
+#: Whitespace token count, engine-portable: the number of ' '-separated
+#: fields equals count(' ') + 1, which REPLACE/LENGTH express identically on
+#: Spark and DuckDB (their split functions differ in name and flag syntax —
+#: the NL oracle contract runs ONE emitted string on both engines).
+PORTABLE_TOKENS = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+
+_DIGITS_STRIPPED = "text"
+for _d in "0123456789":
+    _DIGITS_STRIPPED = f"REPLACE({_DIGITS_STRIPPED}, '{_d}', '')"
+
+#: Engine-portable twin of the quality kernel
+#: (functions/text.py::quality_score_col and SQL_QUALITY_SCORE): 0.5 x
+#: token saturation at 50 tokens + 0.5 x (1 - digit ratio). Token count via
+#: PORTABLE_TOKENS; digit count via ten nested REPLACEs instead of the
+#: engine-specific global-regex forms. Every step is the same IEEE double
+#: operation in the same order on both engines, so per-row scores compare
+#: exactly.
+PORTABLE_QUALITY = (
+    f"(0.5 * LEAST({PORTABLE_TOKENS} / 50.0, 1.0)"
+    f" + 0.5 * (1.0 - (LENGTH(text) - LENGTH({_DIGITS_STRIPPED}))"
+    " / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE)))"
+)
+
+#: Quality floor for the NL curation route: keeps a document when its score
+#: clears 0.8 — below the all-pass region (any digit-free doc scores >= 0.5
+#: by construction) and above the saturation knee, so real corpora split.
+QUALITY_FLOOR = 0.8
+
 
 @dataclass
 class StarPlan:
@@ -163,6 +191,43 @@ def plan_star(question: str) -> StarPlan | None:
 
     # document-corpus questions -------------------------------------------
     if _has_word(q, "document") or _has_word(q, "doc"):
+        # curation-surface routes first: their questions often also carry
+        # "per language" / "how many", which the generic rules below would
+        # otherwise claim
+        if has("quality"):
+            group = "lang" if has("language") else "source"
+            return StarPlan(
+                sql=(
+                    f"SELECT {group}, COUNT(*) AS n_docs, "
+                    f"CAST(SUM(CASE WHEN {PORTABLE_QUALITY} >= {QUALITY_FLOOR} "
+                    "THEN 1 ELSE 0 END) AS BIGINT) AS n_above_floor "
+                    f"FROM documents GROUP BY {group}"
+                ),
+                branch=f"docs_quality_floor_by_{group}",
+                tables=("documents",),
+            )
+        if has("duplicate", "dedup"):
+            return StarPlan(
+                sql=(
+                    "SELECT source, COUNT(*) AS n_docs, "
+                    "CAST(COUNT(*) - COUNT(DISTINCT MD5(LOWER(text))) "
+                    "AS BIGINT) AS n_dup_docs "
+                    "FROM documents GROUP BY source"
+                ),
+                branch="docs_duplicates_by_source",
+                tables=("documents",),
+            )
+        if has("average", "avg") and has("token", "length", "long are"):
+            return StarPlan(
+                sql=(
+                    "SELECT source, COUNT(*) AS n_docs, "
+                    f"CAST(SUM(CAST({PORTABLE_TOKENS} AS DECIMAL(18,6))) "
+                    "AS DOUBLE) / COUNT(*) AS avg_tokens "
+                    "FROM documents GROUP BY source"
+                ),
+                branch="docs_avg_tokens_by_source",
+                tables=("documents",),
+            )
         if has("per language", "by language", "each language"):
             return StarPlan(
                 sql=(

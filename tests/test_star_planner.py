@@ -105,6 +105,26 @@ DOC_EVENT_CASES = [
     ("How many events per hour?", "events_by_hour"),
     ("Give me the event breakdown by type", "events_by_type"),
     ("Who are the 8 most active users?", "most_active_users"),
+    # curation-surface routes (r08 verdict item 8): the quality/dedup/token
+    # questions must win over the generic per-language / how-many rules
+    # that also match their phrasing
+    (
+        "How many documents per language clear the quality floor?",
+        "docs_quality_floor_by_lang",
+    ),
+    (
+        "Which sources have low quality documents?",
+        "docs_quality_floor_by_source",
+    ),
+    (
+        "How many exact duplicate documents does each source contain?",
+        "docs_duplicates_by_source",
+    ),
+    ("deduplicate the document corpus", "docs_duplicates_by_source"),
+    (
+        "What is the average document length in tokens per source?",
+        "docs_avg_tokens_by_source",
+    ),
 ]
 
 
