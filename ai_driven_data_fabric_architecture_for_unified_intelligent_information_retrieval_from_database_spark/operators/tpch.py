@@ -112,6 +112,12 @@ def tpch_q3(spark, t):
       combine), then shuffle-join against customer x orders.
 
     Final top-k is TakeOrderedAndProject in both forms.
+
+    r09 rejection audit (tools/q3q5_ab.py, sf10 interleaved min-of-3):
+    shipped 1.186 s vs pre-agg-first 1.603 s vs forced shuffle 1.918 s,
+    pruned-scan floor 0.325 s, DuckDB 0.326 s — the residue is the
+    single-threaded 1.3 M-row broadcast build + probe/aggregate, already
+    LongHashedRelation-keyed; the form stands.
     """
     c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
     o = t["orders"].where(
@@ -196,7 +202,13 @@ def tpch_q5(spark, t):
     per (l_orderkey, s_nationkey) — the partial combine runs map-side and
     the exchange it plants is hash(l_orderkey, s_nationkey), exactly the
     compound join's required distribution, so the join REUSES it and the
-    fact relation is exchanged once, as narrow longs."""
+    fact relation is exchanged once, as narrow longs.
+
+    r09 rejection audit (tools/q3q5_ab.py, sf10 interleaved min-of-3):
+    shipped 1.281 s vs supplier-probe-first 2.111 s (keeps 20% vs the
+    orders probe's 5.7% — the r05 ordering re-confirmed on the current
+    split layout) vs forced shuffle 2.606 s, pruned-scan floor 0.332 s,
+    DuckDB 0.345 s; the form stands."""
     c, o, l = t["customer"], t["orders"], t["lineitem"]
     s, n, r = t["supplier"], t["nation"], t["region"]
     # Tiny dim chain: ASIA nations (keys + names), then the ASIA supplier slice.
