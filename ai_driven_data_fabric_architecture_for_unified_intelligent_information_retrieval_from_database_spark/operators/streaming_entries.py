@@ -536,6 +536,14 @@ def streaming_cdc_upsert_bucketed(spark, sf_dir):
         if state["tbl"] is None:
             merged = batch_latest
         else:
+            # The writes land on the micro-batch CLONE session; any OTHER
+            # session (a previous invocation's parent, a different clone)
+            # may hold a stale cached file listing for a same-named
+            # version table from an earlier drain — refresh before
+            # reading, or the overwrite's deleted files resurface as
+            # FAILED_READ_FILE (caught by the repeated-invocation pass in
+            # the local differential suite).
+            ss.catalog.refreshTable(state["tbl"])
             merged = merge_profile_state(ss.table(state["tbl"]), batch_latest)
         new_tbl = f"cdcsb_{digest}_v{batch_id}_{tok}"
         prepare_table_location(ss, new_tbl, "cdcsb_")
@@ -551,6 +559,10 @@ def streaming_cdc_upsert_bucketed(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    # Same staleness hazard on the read side: this parent session may have
+    # cached the previous invocation's file listing for the same final
+    # version name before the clone's overwrite replaced the files.
+    spark.catalog.refreshTable(state["tbl"])
     return spark.table(state["tbl"]).select(
         "user_id",
         F.col("s.ts").cast("timestamp_ntz").alias("last_ts"),

@@ -104,6 +104,10 @@ HEADLINE = [
     # its ground-truth oracle is quadratic, so the curve runner skips it
     # past sf1 like the other exact-Jaccard-oracle cells.
     "dedup_minhash_incremental",
+    # round-9: the steady-state streaming upsert (4-micro-batch drain,
+    # each batch MERGEd into the bucketed snapshot with zero
+    # snapshot-side exchange — the plan tests/test_plans.py gates).
+    "streaming_cdc_upsert_bucketed",
 ]
 
 #: Cells whose construction DOES the work (eager checkpoints, bucketed
@@ -115,6 +119,7 @@ TIMED_CONSTRUCTION = {
     "cdc_merge_incremental",  # two eager bucketed merge writes
     "streaming_dedup_watermark",   # AvailableNow drain at construction
     "streaming_tumbling_hourly",   # AvailableNow drain at construction
+    "streaming_cdc_upsert_bucketed",  # 4-batch drain + bucketed merges
 }
 
 #: Cells whose Spark/DuckDB comparison is structurally asymmetric: the Spark
@@ -137,6 +142,10 @@ ASYMMETRIC_CELLS = {
     "streaming_tumbling_hourly": (
         "real incremental streaming engine drained via durable sink; "
         "oracle is one batch SQL pass"
+    ),
+    "streaming_cdc_upsert_bucketed": (
+        "real streaming engine + four durable bucketed merge writes; "
+        "oracle is one batch SQL argmax"
     ),
 }
 
