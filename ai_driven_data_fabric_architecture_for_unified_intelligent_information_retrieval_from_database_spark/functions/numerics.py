@@ -120,25 +120,27 @@ def stable_avg_wide(col: Column | str, decimal_type: str = _SUM_DECIMAL) -> Colu
 
 def assert_microunit_headroom(df, col: Column | str, scale: int = _SCALE) -> float:
     """Cheap overflow guard for :func:`stable_sum`: verifies that even the
-    worst case — every row at the column's max magnitude summed into ONE
-    group — stays under 2^63 micro-units, and returns the headroom ratio
-    (bound / worst-case; >1 means safe).
+    worst case — every row summed into ONE group — stays under 2^63
+    micro-units, and returns the headroom ratio (bound / worst-case;
+    >1 means safe).
 
-    One COUNT+MAX aggregate over ``df`` (no shuffle of the data itself).
-    Raises ``OverflowError`` when the worst case could exceed the long
-    range, pointing at :func:`stable_sum_wide`.
+    The bound is the EXACT total ``SUM(|x|)`` (any group's |sum| — and any
+    map-side partial's — is bounded by it), not the ``COUNT x MAX``
+    over-approximation the first cut used: that bound is ~3x pessimistic
+    on price-like distributions and aborted the sf30 bench leg whose true
+    total still had 25% headroom. Same cost — one aggregate over ``df``,
+    no shuffle of the data itself. Raises ``OverflowError`` when the
+    total could exceed the long range, pointing at
+    :func:`stable_sum_wide`.
     """
     c = _col(col)
-    row = df.agg(
-        F.count(c).alias("n"), F.max(F.abs(c)).alias("m")
-    ).head()
-    n, m = (row["n"] or 0), float(row["m"] or 0.0)
-    worst = n * m * (10**scale)
+    row = df.agg(F.sum(F.abs(c)).alias("s")).head()
+    worst = float(row["s"] or 0.0) * (10**scale)
     bound = float(2**63 - 1)
     if worst >= bound:
         raise OverflowError(
-            f"stable_sum micro-unit range exceeded: {n} rows x max|x|={m} "
-            f"at scale {scale} -> {worst:.3e} >= 2^63; use stable_sum_wide"
+            f"stable_sum micro-unit range exceeded: SUM(|x|)*10^{scale} "
+            f"= {worst:.3e} >= 2^63; use stable_sum_wide"
         )
     return bound / worst if worst else float("inf")
 

@@ -73,6 +73,8 @@ SAMPLE_PRIORITY: list[str] = [
     "nl_docs_quality_floor",
     "nl_docs_duplicates",
     "nl_docs_avg_tokens",
+    "text_bpe_merge_candidates",
+    "text_bigram_surprisal",
     # --- round-9 churn (operators or oracles touched this round) ---
     "multimodal_decode_any",
     "sampling_pack_context_windows",

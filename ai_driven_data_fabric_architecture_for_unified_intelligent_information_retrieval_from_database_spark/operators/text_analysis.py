@@ -809,6 +809,103 @@ def text_unigram_surprisal(spark, t):
 
 
 @query(
+    "text_bigram_surprisal",
+    oracle="""
+        WITH ws AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ws
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(ws) - 1),
+                       i -> struct_pack(w1 := ws[CAST(i AS INT)],
+                                        w2 := ws[CAST(i AS INT) + 1]))) AS p
+            FROM ws WHERE LEN(ws) >= 2
+        ),
+        tf AS (
+            SELECT doc_id, p.w1 AS w1, p.w2 AS w2, COUNT(*) AS tf
+            FROM bg GROUP BY doc_id, p.w1, p.w2
+        ),
+        cnt AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12
+                FROM tf GROUP BY w1, w2),
+        pre AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+                FROM cnt GROUP BY w1)
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_transitions,
+               CAST(SUM(tf.tf * (pre.c1 // cnt.c12)) AS BIGINT)
+                   AS surprisal_units,
+               CAST(MAX(pre.c1 // cnt.c12) AS BIGINT) AS rarest_unit
+        FROM tf
+        JOIN cnt USING (w1, w2)
+        JOIN pre USING (w1)
+        GROUP BY tf.doc_id
+    """,
+    covers="pipeline: bigram-LM conditional surprisal (second-order "
+    "corpus-language-model quality gate — catches shuffled/templated "
+    "text the unigram model scores as normal)",
+)
+def text_bigram_surprisal(spark, t):
+    """Score each document under the corpus's own BIGRAM language model:
+    every token transition contributes its exact integer inverse
+    conditional probability ``c(w1) // c(w1, w2)`` (occurrences of the
+    prefix over occurrences of the transition). The unigram gate
+    (text_unigram_surprisal) cannot distinguish shuffled or
+    token-sampled gibberish from real prose — every token is
+    individually common — while transitions expose it (the standard
+    second-order LM filter a curation pipeline runs next).
+
+    Same exactness contract as the unigram entry: integer DIV, no
+    transcendentals, so the driver's value hash is bit-stable across
+    engines. Plan shape: the bigram instances are generated INSIDE the
+    words-array transform (adjacent pairs — no self-join, no window over
+    token position), one explode feeds the per-(doc, w1, w2) tf rollup,
+    and BOTH model relations — transition counts and prefix totals —
+    derive from that rollup's exchange (the tfidf/surprisal exchange-
+    reuse discipline). The model join is cost-chosen: broadcast while
+    the transition vocabulary fits the budget, key-shuffle past it
+    (bigram vocabularies outgrow unigram ones quickly — 10^9+ on web
+    corpora — so the fallback is the expected 100 TB path). Documents
+    with fewer than two non-empty tokens have no transitions and are
+    absent from the output on both engines."""
+    from .relational import _fits_broadcast
+
+    pairs = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+    )
+    bg = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("ws"),
+        )
+        .where(F.size("ws") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    pre = cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    units = F.expr("c1 DIV c12")
+    if _fits_broadcast(spark, cnt):
+        cnt = F.broadcast(cnt)
+    if _fits_broadcast(spark, pre):
+        pre = F.broadcast(pre)
+    return (
+        tf.join(cnt, ["w1", "w2"])
+        .join(pre, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            F.sum(F.col("tf") * units).alias("surprisal_units"),
+            F.max(units).alias("rarest_unit"),
+        )
+    )
+
+
+@query(
     "text_quality_calibrated",
     oracle=f"""
         WITH scored AS (
@@ -868,4 +965,67 @@ def text_quality_calibrated(spark, t):
         .cast("long")
         .alias("n_kept"),
         F.min(kept).alias("min_kept_q"),
+    )
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle="""
+        WITH w AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+        ),
+        p AS (
+            SELECT UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LENGTH(w) - 1),
+                       i -> SUBSTRING(w, CAST(i AS INT), 2))) AS pair
+            FROM w WHERE LENGTH(w) >= 2
+        )
+        SELECT pair, COUNT(*) AS n_occurrences
+        FROM p GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT 20
+    """,
+    covers="pipeline: BPE vocabulary induction, step one — corpus-wide "
+    "adjacent-symbol pair counting within words (the merge-candidate "
+    "ranking a distributed tokenizer trainer computes each round)",
+)
+def text_bpe_merge_candidates(spark, t):
+    """Top-20 BPE merge candidates: the first iteration of byte-pair
+    encoding training counts every adjacent symbol pair inside every word
+    occurrence across the corpus and merges the most frequent — this
+    entry computes exactly that ranking at the character level (step 0,
+    where every symbol is one char), completing the tokenizer surface
+    beside the ESTIMATORS in text_bpe_token_estimate.
+
+    Plan shape: one corpus scan, two bounded explodes (words, then the
+    length-1 char bigrams of each word — output is linear in corpus
+    bytes, never quadratic), one hash rollup with map-side combine on
+    2-char keys, TakeOrderedAndProject for the top-k. At 100 TB this is
+    the canonical distributed BPE-trainer round: the pair-count rollup
+    is the only exchange and its key domain is tiny (|alphabet|^2), so
+    the partial aggregation collapses almost everything map-side and the
+    exchange carries a few thousand rows per partition regardless of
+    corpus size; successive merge rounds re-run the same plan over
+    re-segmented words.
+
+    Words shorter than 2 chars are filtered on BOTH engines before pair
+    generation: Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of
+    returning the empty list DuckDB's GENERATE_SERIES yields — an
+    engine-semantics trap the explicit filter removes outright."""
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
     )

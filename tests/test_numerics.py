@@ -24,9 +24,10 @@ def test_headroom_ok_on_small_corpus(spark):
 
 
 def test_documented_sf40_bound_matches_data(spark):
-    """Global revenue is ~2.3e11 per sf unit; COUNT x MAX (the guard's
-    worst case) caps the safe sf near single digits, actual totals near
-    sf40 — both far below the old 'past ~sf200' claim."""
+    """Global revenue is ~2.3e11 per sf unit, so the guard's exact
+    SUM(|x|) bound caps the safe sf near 40 — far below the old
+    'past ~sf200' claim (r09 note: the first-cut COUNT x MAX bound was
+    ~3x tighter still and falsely aborted the sf30 bench leg)."""
     df = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
     total = df.agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -45,7 +46,7 @@ def test_guard_raises_past_range(spark):
 def test_guard_trips_before_wrapped_sum(spark):
     """The failure the guard exists to prevent: with ANSI off, a long SUM
     past 2^63 micro-units wraps silently to a *wrong* total. Prove the
-    guard's COUNT x MAX bound fires on exactly such an input, so any
+    guard's SUM(|x|) bound fires on exactly such an input, so any
     caller that checks first can never see the wrapped number."""
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.functions.numerics import (
         stable_sum,
