@@ -118,29 +118,39 @@ def stable_avg_wide(col: Column | str, decimal_type: str = _SUM_DECIMAL) -> Colu
     return F.sum(c.cast(decimal_type)).cast("double") / F.count(c)
 
 
-def assert_microunit_headroom(df, col: Column | str, scale: int = _SCALE) -> float:
-    """Cheap overflow guard for :func:`stable_sum`: verifies that even the
-    worst case — every row summed into ONE group — stays under 2^63
-    micro-units, and returns the headroom ratio (bound / worst-case;
-    >1 means safe).
+def assert_microunit_headroom(
+    df, col: Column | str, scale: int = _SCALE, group_cols: list[str] | None = None
+) -> float:
+    """Cheap overflow guard for :func:`stable_sum`: verifies the worst
+    per-group micro-unit total stays under 2^63 and returns the headroom
+    ratio (bound / worst-case; >1 means safe).
 
-    The bound is the EXACT total ``SUM(|x|)`` (any group's |sum| — and any
-    map-side partial's — is bounded by it), not the ``COUNT x MAX``
-    over-approximation the first cut used: that bound is ~3x pessimistic
-    on price-like distributions and aborted the sf30 bench leg whose true
-    total still had 25% headroom. Same cost — one aggregate over ``df``,
-    no shuffle of the data itself. Raises ``OverflowError`` when the
-    total could exceed the long range, pointing at
-    :func:`stable_sum_wide`.
+    Without ``group_cols`` the bound is the EXACT corpus total
+    ``SUM(|x|)`` — any group's |sum|, and any map-side partial's, is
+    bounded by it. (The first cut used ``COUNT x MAX``, ~3x pessimistic
+    on price-like data; it falsely aborted an sf30 bench leg whose true
+    total still had headroom.) With ``group_cols`` the bound is the
+    LARGEST per-group ``SUM(|x|)`` at the stated grain — for a caller
+    that knows the coarsest grain any of its reductions actually groups
+    at, this is the exact binding constraint (the global form trips one
+    scale-decade early on a corpus whose total exceeds 2^63 while every
+    real group stays inside). Either form is one aggregate over ``df``;
+    the grouped one shuffles only group subtotals. Raises
+    ``OverflowError`` pointing at :func:`stable_sum_wide`.
     """
     c = _col(col)
-    row = df.agg(F.sum(F.abs(c)).alias("s")).head()
+    if group_cols:
+        grouped = df.groupBy(*group_cols).agg(F.sum(F.abs(c)).alias("s"))
+        row = grouped.agg(F.max("s").alias("s")).head()
+    else:
+        row = df.agg(F.sum(F.abs(c)).alias("s")).head()
     worst = float(row["s"] or 0.0) * (10**scale)
     bound = float(2**63 - 1)
     if worst >= bound:
+        grain = f" per ({', '.join(group_cols)}) group" if group_cols else ""
         raise OverflowError(
-            f"stable_sum micro-unit range exceeded: SUM(|x|)*10^{scale} "
-            f"= {worst:.3e} >= 2^63; use stable_sum_wide"
+            f"stable_sum micro-unit range exceeded: max SUM(|x|)*10^{scale}"
+            f"{grain} = {worst:.3e} >= 2^63; use stable_sum_wide"
         )
     return bound / worst if worst else float("inf")
 

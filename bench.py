@@ -362,13 +362,33 @@ def main() -> None:
         )
         from pyspark.sql import functions as F
 
+        # Checked at the COARSEST money grains any benched reduction
+        # actually groups at — q1's (returnflag, linestatus) charge rollup
+        # (~4-way corpus split) and the CDC per-status totalprice rollup
+        # (~3-way) — not at the global grain: past ~sf25 the CORPUS total
+        # of charge exceeds 2^63 micro-units while every real group still
+        # has 2x headroom (the sf30 leg tripped the global form), and no
+        # benched query sums money without at least these splits. The
+        # grouped bound is exact for the suite and still aborts loudly
+        # near sf55-60, where q1's largest group genuinely overflows and
+        # the operators would need their stable_sum_wide forms.
         lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         charge = (
             F.col("l_extendedprice")
             * (1 - F.col("l_discount"))
             * (1 + F.col("l_tax"))
         )
-        assert_microunit_headroom(lineitem.select(charge.alias("charge")), "charge")
+        assert_microunit_headroom(
+            lineitem.select("l_returnflag", "l_linestatus", charge.alias("charge")),
+            "charge",
+            group_cols=["l_returnflag", "l_linestatus"],
+        )
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        assert_microunit_headroom(
+            orders.select("o_orderstatus", "o_totalprice"),
+            "o_totalprice",
+            group_cols=["o_orderstatus"],
+        )
 
     # Three passes per query, report the min: pass 1 pays whole-stage-codegen
     # compilation and OS page-cache warmup (cached thereafter), so later

@@ -37,6 +37,25 @@ def test_documented_sf40_bound_matches_data(spark):
     assert 20 < safe_sf_actual < 80  # ~sf40, not ~sf200
 
 
+def test_grouped_guard_binds_at_group_grain(spark):
+    """The grouped form must bound the LARGEST per-group total, not the
+    corpus total: a two-group frame whose total exceeds 2^63 micro-units
+    but whose groups each stay inside must PASS at the group grain and
+    FAIL at the global grain (exactly the sf30 bench situation)."""
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("g"), F.lit(3.0e9).alias("x")
+    )
+    # total: 2000 x 3e9 x 1e6 = 6e18 < 2^63... scale up to straddle:
+    df = spark.range(4000).select(
+        (F.col("id") % 2).alias("g"), F.lit(3.0e9).alias("x")
+    )
+    # total 1.2e19 > 2^63; per group 6e18 < 2^63
+    with pytest.raises(OverflowError):
+        assert_microunit_headroom(df, "x")
+    ratio = assert_microunit_headroom(df, "x", group_cols=["g"])
+    assert ratio > 1.0
+
+
 def test_guard_raises_past_range(spark):
     df = spark.range(1000).select((F.col("id") * 1e13).alias("x"))
     with pytest.raises(OverflowError, match="stable_sum_wide"):
