@@ -393,9 +393,15 @@ def hashed_shingles(t) -> DataFrame:
     resolution — a collision needs two distinct shingles co-occurring in
     one document pair at p ~ 2^-64). Short documents (< 3 words) hash
     their truncated tail via try_element_at's NULLs, mirroring
-    shingles_expr's one-truncated-shingle behavior."""
+    shingles_expr's one-truncated-shingle behavior.
+
+    ``t`` is the registry tables dict OR a bare documents DataFrame (the
+    streaming dedup entry feeds micro-batch frames through the same
+    kernel, so batch and stream can never diverge on shingle semantics).
+    """
+    docs = t if isinstance(t, DataFrame) else t["documents"]
     return (
-        t["documents"]
+        docs
         .select("doc_id", words_col().alias("ws"))
         .select(
             "doc_id",

@@ -75,6 +75,7 @@ SAMPLE_PRIORITY: list[str] = [
     "nl_docs_avg_tokens",
     "text_bpe_merge_candidates",
     "text_bigram_surprisal",
+    "streaming_dedup_minhash",
     # --- round-9 churn (operators or oracles touched this round) ---
     "multimodal_decode_any",
     "sampling_pack_context_windows",

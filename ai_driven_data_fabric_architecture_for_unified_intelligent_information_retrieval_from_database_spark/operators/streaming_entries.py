@@ -570,3 +570,181 @@ def streaming_cdc_upsert_bucketed(spark, sf_dir):
         F.col("s.event_type").alias("last_event_type"),
         "n_events",
     )
+
+
+def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
+    """The streaming near-dup ingest, parameterized on the staged feed
+    directory — shared by the registered entry (4-part cached layout) and
+    the shuffled-replay invariance test (8-part shuffled layout), so the
+    tested drain IS the shipped one. See streaming_dedup_minhash for the
+    semantics and scale notes. Returns the accumulated verified pairs."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .dedup import MINHASH_VERIFY_THRESHOLD, _band_buckets, minhash_signatures
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    root = tempfile.mkdtemp(prefix="dedup_stream_state_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    buckets_dir = os.path.join(root, "buckets")
+    hs_dir = os.path.join(root, "hsets")
+    pairs_dir = os.path.join(root, "pairs")
+    state = {"has_base": False}
+
+    def _ingest(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        sig = minhash_signatures(batch_df, with_sets=True).localCheckpoint()
+        buckets = _band_buckets(sig)
+        hs = sig.select("doc_id", "sz", "hset")
+        new_b = buckets.select(
+            F.col("doc_id").alias("new_id"),
+            F.col("sz").alias("n_sz"),
+            "band_idx",
+            "band_key",
+        )
+        # co-arriving pairs: batch-internal self-join (a < b)
+        other_b = buckets.select(
+            F.col("doc_id").alias("old_id"),
+            F.col("sz").alias("o_sz"),
+            "band_idx",
+            "band_key",
+        )
+        cand = (
+            new_b.join(other_b, ["band_idx", "band_key"])
+            .where(F.col("new_id") < F.col("old_id"))
+            .select("new_id", "old_id", "n_sz", "o_sz")
+        )
+        old_hs = hs
+        if state["has_base"]:
+            base_b = ss.read.parquet(buckets_dir).select(
+                F.col("doc_id").alias("old_id"),
+                F.col("sz").alias("o_sz"),
+                "band_idx",
+                "band_key",
+            )
+            cand = cand.unionAll(
+                new_b.join(base_b, ["band_idx", "band_key"]).select(
+                    "new_id", "old_id", "n_sz", "o_sz"
+                )
+            )
+            old_hs = hs.unionAll(
+                ss.read.parquet(hs_dir).select("doc_id", "sz", "hset")
+            )
+        cand = cand.distinct()
+        j = cand.join(
+            hs.select(F.col("doc_id").alias("new_id"), F.col("hset").alias("n_set")),
+            "new_id",
+        ).join(
+            old_hs.select(
+                F.col("doc_id").alias("old_id"), F.col("hset").alias("o_set")
+            ),
+            "old_id",
+        )
+        n_common = F.size(F.array_intersect("n_set", "o_set"))
+        jac = n_common.cast("double") / (F.col("n_sz") + F.col("o_sz") - n_common)
+        pairs = j.select(
+            F.least("new_id", "old_id").alias("a_id"),
+            F.greatest("new_id", "old_id").alias("b_id"),
+            jac.alias("jaccard"),
+        ).where(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
+        # Appends commit in-batch order: pairs first, then state, so a
+        # mid-batch failure can only UNDER-report (and the retry re-finds
+        # the pair) rather than leave phantom base entries.
+        pairs.write.mode("append").parquet(pairs_dir)
+        buckets.write.mode("append").parquet(buckets_dir)
+        hs.write.mode("append").parquet(hs_dir)
+        state["has_base"] = True
+
+    q = (
+        docs.writeStream.foreachBatch(_ingest)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir).select("a_id", "b_id", "jaccard")
+
+
+def _register_streaming_dedup() -> None:
+    """Registers streaming_dedup_minhash (deferred import of the dedup
+    kernels to avoid a module-load cycle: dedup imports nothing from
+    here, but keeping the import inside the registration function makes
+    the dependency one-way at import time)."""
+    from .dedup import (
+        MINHASH_VERIFY_THRESHOLD,
+        _PAIR_CTES,
+        _band_buckets,
+        minhash_signatures,
+    )
+
+    @query_sfdir(
+        "streaming_dedup_minhash",
+        # The full LSH pipeline's quadratic exact-Jaccard ground truth —
+        # identical to dedup_minhash_lsh's oracle, because any batching of
+        # the feed must produce exactly the full pair set (see docstring).
+        oracle=f"""
+            WITH {_PAIR_CTES}
+            SELECT a_id, b_id, jaccard FROM jpairs
+            WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+        """,
+        covers="2.9 + dedup STEADY STATE: always-on near-dup ingest — each "
+        "micro-batch of documents probes the ACCUMULATED band-bucket state "
+        "(delta-vs-base + delta-vs-delta, never base-vs-base), appends its "
+        "own bands, and the union of per-batch verified pairs equals the "
+        "full-corpus LSH pair set for ANY batching of the feed",
+    )
+    def streaming_dedup_minhash(spark, sf_dir):
+        """Always-on near-dup dedup, driven by the real streaming engine:
+        the documents corpus replays as FOUR one-file micro-batches and
+        each batch (a) band-hashes ONLY its own documents with the exact
+        kernel the batch entries use (minhash_signatures /
+        _band_buckets — shared code, so stream and batch can never
+        diverge on shingle or banding semantics), (b) probes the
+        ACCUMULATED base band-bucket state for cross-batch candidates
+        plus a batch-internal self-join for co-arriving pairs, (c)
+        exact-verifies candidates by hashed-shingle intersection against
+        the accumulated signature state, and (d) APPENDS its bands +
+        signatures to the state — append-only, no state rewrite at all
+        (strictly cheaper steady-state I/O than the CDC upsert's
+        versioned snapshot).
+
+        Correctness contract: every unordered near-dup pair is found
+        EXACTLY once — co-arriving pairs by the batch self-join, split
+        pairs when the later document's batch probes the state — so the
+        accumulated output equals dedup_minhash_lsh's full-corpus pair
+        set for ANY batching/ordering of the feed (pinned against a
+        shuffled 8-batch replay in tests/test_streaming.py), and the
+        oracle is the same quadratic exact-Jaccard ground truth, which
+        keeps the total-recall tripwire: a pair the banding misses is a
+        row-count mismatch, not a hidden claim.
+
+        Scale shape per batch: O(|delta| shingles + matched buckets +
+        verified candidates). The state is an append-only (doc_id, sz,
+        band_idx, band_key) relation plus the signature sets — at 100 TB
+        both live as bucketed tables on band_key / doc_id (the
+        ensure_bucketed_table discipline) so the probe is
+        partition-local; here they are plain appended parquet, the same
+        layout at demo scale."""
+        import os
+
+        from ..sources.catalog import register_views
+        from .scale import _cached_layout, _corpus_digest
+
+        register_views(spark, sf_dir)
+        raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        stage = _cached_layout(
+            "/tmp/dedup_stream_parts_cache",
+            _corpus_digest(raw),
+            "documents_4part",
+            lambda p: raw.repartition(4).write.mode("overwrite").parquet(p),
+        )
+        return dedup_stream_drain(spark, stage, raw.schema, "reg_stream_dedup_minhash")
+
+
+_register_streaming_dedup()

@@ -106,8 +106,12 @@ HEADLINE = [
     "dedup_minhash_incremental",
     # round-9: the steady-state streaming upsert (4-micro-batch drain,
     # each batch MERGEd into the bucketed snapshot with zero
-    # snapshot-side exchange — the plan tests/test_plans.py gates).
+    # snapshot-side exchange — the plan tests/test_plans.py gates) and
+    # the always-on near-dup ingest (per-batch delta-vs-state probe,
+    # append-only state; quadratic ground-truth oracle, so the curve
+    # runner skips it past sf1 like the other exact-Jaccard cells).
     "streaming_cdc_upsert_bucketed",
+    "streaming_dedup_minhash",
 ]
 
 #: Cells whose construction DOES the work (eager checkpoints, bucketed
@@ -120,6 +124,7 @@ TIMED_CONSTRUCTION = {
     "streaming_dedup_watermark",   # AvailableNow drain at construction
     "streaming_tumbling_hourly",   # AvailableNow drain at construction
     "streaming_cdc_upsert_bucketed",  # 4-batch drain + bucketed merges
+    "streaming_dedup_minhash",     # 4-batch drain + state/pair appends
 }
 
 #: Cells whose Spark/DuckDB comparison is structurally asymmetric: the Spark
@@ -146,6 +151,10 @@ ASYMMETRIC_CELLS = {
     "streaming_cdc_upsert_bucketed": (
         "real streaming engine + four durable bucketed merge writes; "
         "oracle is one batch SQL argmax"
+    ),
+    "streaming_dedup_minhash": (
+        "real streaming engine + per-batch durable state/pair appends; "
+        "oracle is one quadratic batch SQL pass"
     ),
 }
 

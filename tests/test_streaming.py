@@ -439,3 +439,43 @@ def test_cdc_upsert_bucketed_state_is_batch_boundary_invariant(
     spark.sql(f"DROP TABLE IF EXISTS {final_tbl}")
     assert want, "registered drain returned nothing — vacuous"
     assert got == want
+
+
+def test_streaming_dedup_pair_set_is_batch_boundary_invariant(
+    spark, tmp_path_factory
+):
+    """The always-on near-dup ingest must find every unordered pair
+    exactly once under ANY batching: replay the documents corpus as a
+    SHUFFLED 8-file feed through the SHARED dedup_stream_drain (the exact
+    shipped logic) and compare the accumulated pair set against the
+    registered 4-batch drain (which itself matched the quadratic
+    exact-Jaccard oracle)."""
+    import os
+    import random
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.streaming_entries import (
+        dedup_stream_drain,
+    )
+
+    stage = str(tmp_path_factory.mktemp("dedup_stream_parts"))
+    raw = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    raw.repartition(8).write.mode("overwrite").parquet(stage)
+    parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    order = list(parts)
+    random.Random(37).shuffle(order)
+    base = 1_700_000_000
+    for i, p in enumerate(order):
+        os.utime(os.path.join(stage, p), (base + i, base + i))
+
+    got = sorted(
+        tuple(r)
+        for r in dedup_stream_drain(
+            spark, stage, raw.schema, "t_dedup_stream_shuffled"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in queries()["streaming_dedup_minhash"](spark, SF_SMOKE).collect()
+    )
+    assert want, "registered drain returned nothing — vacuous"
+    assert got == want

@@ -79,7 +79,7 @@ def main() -> None:
         if tail.replace(".", "").isdigit() and float(tail) > 1:
             env["SPARK_GRAFT_BENCH_SKIP"] = (
                 "dedup_ngram_jaccard,dedup_minhash_lsh,dedup_components,"
-                "dedup_minhash_incremental"
+                "dedup_minhash_incremental,streaming_dedup_minhash"
             )
         spark = run_json([sys.executable, "bench.py"], env=env)
         # bench.py's FINAL line is the compact driver-facing record (r08:
