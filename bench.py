@@ -661,21 +661,21 @@ def final_line(evidence: dict, common: list[str], evidence_path) -> str:
         compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(compact)
     if len(line) > FINAL_LINE_BUDGET:
-        if evidence_path is not None:
-            compact["queries"] = {"_truncated_see": evidence_path}
-        else:
-            # Evidence file write failed AND the suite is too large for the
-            # tail: keep the slowest cells (the ones a grader acts on)
-            # rather than pointing at a null path and losing everything.
-            worst = sorted(timings.items(), key=lambda kv: -kv[1])
-            kept: dict = {}
-            for k, v in worst:
-                kept[k] = round(v, 2)
+        # Keep as many of the SLOWEST cells as fit (the ones a grader acts
+        # on) instead of dropping the whole dict to a file pointer: at 47
+        # cells even the rounded dict outgrew the tail budget, and the
+        # pointer-only form made the driver artifact carry zero per-query
+        # data (the full set is still in the evidence file when its write
+        # succeeded; ADVICE r08 flagged the evidence_path=None corner).
+        worst = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict = {}
+        for k, v in worst:
+            kept[k] = round(v, 2)
+            compact["queries"] = {"_truncated_worst_first": kept}
+            if len(json.dumps(compact)) > FINAL_LINE_BUDGET:
+                kept.pop(k)
                 compact["queries"] = {"_truncated_worst_first": kept}
-                if len(json.dumps(compact)) > FINAL_LINE_BUDGET:
-                    kept.pop(k)
-                    compact["queries"] = {"_truncated_worst_first": kept}
-                    break
+                break
         line = json.dumps(compact)
     return line
 

@@ -50,3 +50,18 @@ def test_bench_final_line_always_fits_tail_budget():
     small = dict(evidence, queries={"q1": 1.234, "q2": 0.567})
     parsed = json.loads(bench.final_line(small, ["q1", "q2"], None))
     assert parsed["queries"] == {"q1": 1.234, "q2": 0.567}
+    # oversized suite AND a failed evidence write (ADVICE r08: the old
+    # fallback emitted a null file pointer and lost every per-query
+    # value): the line must still fit AND carry the worst cells first
+    big = dict(
+        evidence,
+        queries={n: float(i) for i, n in enumerate(names)},
+    )
+    line = bench.final_line(big, names, None)
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    kept = parsed["queries"]["_truncated_worst_first"]
+    assert kept, "fallback dropped every per-query value"
+    # worst-first: the slowest cell must be present, the fastest absent
+    assert "some_quite_long_operator_name_199" in kept
+    assert "some_quite_long_operator_name_000" not in kept
