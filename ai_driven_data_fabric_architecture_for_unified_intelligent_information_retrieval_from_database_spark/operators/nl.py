@@ -17,6 +17,15 @@ from .registry import query
 _NL_CASES = {
     "nl_revenue_by_region": ("What is the revenue by region?", "revenue_by_region"),
     "nl_revenue_by_segment": ("Show revenue per market segment", "revenue_by_segment"),
+    "nl_revenue_by_nation": ("What is the turnover per nation?", "revenue_by_nation"),
+    "nl_avg_order_value": ("What is the average order value?", "avg_order_value"),
+    # NOT registered: the customers_without_orders branch (anti-join) —
+    # every driver corpus below sf0.1 gives each customer at least one
+    # order, so its oracle row set is EMPTY at the sf0.01 gate and the
+    # hash compare would pass vacuously (the anti-join shape is
+    # driver-verified non-vacuously through join_anti instead; the NL
+    # route itself is covered by the planner branch tests).
+    "nl_count_parts": ("How many parts are in the catalog?", "count_part"),
     "nl_top_customers": ("Who are the top 7 customers by spending?", "top_customers"),
     "nl_orders_by_year": ("How did order counts develop per year?", "orders_by_year"),
     "nl_avg_order_value_by_segment": (

@@ -76,6 +76,9 @@ SAMPLE_PRIORITY: list[str] = [
     "text_bpe_merge_candidates",
     "text_bigram_surprisal",
     "streaming_dedup_minhash",
+    "nl_revenue_by_nation",
+    "nl_avg_order_value",
+    "nl_count_parts",
     # --- round-9 churn (operators or oracles touched this round) ---
     "multimodal_decode_any",
     "sampling_pack_context_windows",
