@@ -542,6 +542,15 @@ def dedup_minhash_lsh(spark, t):
     # At 100 TB the aggregate's memory is the corpus's distinct shingle
     # hashes grouped per doc — the same bytes the r04 plan shuffled as
     # rows — and ObjectHashAggregate spills per partition.
+    return lsh_verified_pairs(t)
+
+
+def lsh_verified_pairs(t) -> DataFrame:
+    """(a_id, b_id, jaccard): the banded-candidate + exact-verify pair
+    relation — the body of dedup_minhash_lsh, factored out so downstream
+    consumers (the cross-source matrix) compose on the SAME scale path
+    rather than re-deriving pairs. See dedup_minhash_lsh for the plan
+    notes and measured trades."""
     sig = minhash_signatures(t, with_sets=True)
     buckets = _band_buckets(sig)
     a_b = buckets.select(
@@ -579,6 +588,70 @@ def dedup_minhash_lsh(spark, t):
     jac = n_common.cast("double") / (F.col("a_sz") + F.col("b_sz") - n_common)
     return j.select("a_id", "b_id", jac.alias("jaccard")).where(
         F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD
+    )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+        WITH {_PAIR_CTES},
+        vp AS (SELECT a_id, b_id, jaccard FROM jpairs
+               WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}),
+        lab AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b,
+                   vp.jaccard
+            FROM vp
+            JOIN documents da ON vp.a_id = da.doc_id
+            JOIN documents db ON vp.b_id = db.doc_id
+        )
+        SELECT source_a, source_b, COUNT(*) AS n_pairs,
+               MAX(jaccard) AS max_jaccard
+        FROM lab GROUP BY source_a, source_b
+    """,
+    covers="pipeline: cross-source contamination matrix — which source "
+    "pairs share near-duplicate content (the curation diagnostic that "
+    "finds template/mirror sites and cross-source scrape overlap before "
+    "source-level mixing weights are chosen)",
+)
+def dedup_cross_source_matrix(spark, t):
+    """Near-dup pair counts by (source, source) cell: every verified
+    near-dup pair from the LSH scale path (:func:`lsh_verified_pairs` —
+    the SAME banded-candidate + exact-verify relation dedup_minhash_lsh
+    registers, so this is a composition, not a re-derivation) is labeled
+    with its two documents' sources, canonicalized lexically
+    (least/greatest) so the matrix is one triangle, and rolled up. A
+    curation pipeline reads this before choosing source mixing weights:
+    a hot off-diagonal cell means two sources mirror each other and
+    their combined weight double-counts the same content.
+
+    Scale shape: the expensive part is the pair relation, which is the
+    already-bucketed LSH path; the source labeling joins the TINY
+    verified pair set back to a two-column (doc_id, source) projection
+    (candidate-sized exchanges at worst — at 100 TB the projection side
+    partitions by doc_id and only pair-side rows move), and the rollup
+    output is |sources|^2-bounded. max_jaccard is a per-row double
+    maximum — deterministic across engines, no float summation."""
+    vp = lsh_verified_pairs(t)
+    src = t["documents"].select("doc_id", "source")
+    lab = vp.join(
+        src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")),
+        "a_id",
+    ).join(
+        src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")),
+        "b_id",
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
     )
 
 

@@ -79,6 +79,7 @@ SAMPLE_PRIORITY: list[str] = [
     "nl_revenue_by_nation",
     "nl_avg_order_value",
     "nl_count_parts",
+    "dedup_cross_source_matrix",
     # --- round-9 churn (operators or oracles touched this round) ---
     "multimodal_decode_any",
     "sampling_pack_context_windows",
