@@ -497,20 +497,22 @@ def prune_stale_warehouse(warehouse: str | None = None) -> int:
     write the same table family (r08 verdict item 7). Called once from
     conftest/bench startup: a dir whose embedded pid is DEAD is residue
     and goes immediately; a dir whose pid is alive (another live session,
-    or a recycled pid) is only pruned past the 1 h last-use age guard —
-    the same never-race-a-live-session rule the digest cache follows.
-    Returns the number of dirs removed."""
+    or a recycled pid) is NEVER pruned here — parquet dir mtimes do not
+    advance on read, so an age guard would race a live >1h session that
+    still queries a table it wrote at startup (ADVICE r09). Live-pid
+    residue from recycled pids is instead cleared by the owning family's
+    in-write age prune (:func:`prepare_table_location`), whose writers
+    keep last-use utime stamps. Returns the number of dirs removed."""
     import os
     import re
     import shutil
-    import time
 
     if warehouse is None:
         warehouse = os.path.join(os.getcwd(), "spark-warehouse")
     if not os.path.isdir(warehouse):
         return 0
     token_re = re.compile(r"_(\d+)_[0-9a-f]{6}$")
-    removed, now = 0, time.time()
+    removed = 0
     for d in os.listdir(warehouse):
         m = token_re.search(d)
         if not m or int(m.group(1)) == os.getpid():
@@ -523,11 +525,7 @@ def prune_stale_warehouse(warehouse: str | None = None) -> int:
             alive = False
         except OSError:
             alive = True  # EPERM et al.: assume live, fall to the age guard
-        try:
-            old = now - os.path.getmtime(full) > _PRUNE_MIN_AGE_S
-        except OSError:
-            continue
-        if not alive or old:
+        if not alive:
             shutil.rmtree(full, ignore_errors=True)
             removed += 1
     return removed

@@ -25,6 +25,19 @@ REVENUE = (
 #: fields equals count(' ') + 1, which REPLACE/LENGTH express identically on
 #: Spark and DuckDB (their split functions differ in name and flag syntax —
 #: the NL oracle contract runs ONE emitted string on both engines).
+#:
+#: Known, deliberate divergence from the split-and-filter token kernel
+#: (functions/text.py): this counts SEPARATORS, so empty text scores 1 and
+#: each leading/trailing/consecutive space adds one, where the kernel
+#: drops empty fields. Collapsing runs of whitespace portably would need a
+#: global regex replace, whose flag syntax differs between the two engines
+#: — the very thing this expression exists to avoid. The divergence is
+#: safe for the oracle contract (both engines evaluate the SAME emitted
+#: string, so Spark and DuckDB agree row-for-row by construction) and for
+#: the test corpus (single-spaced, non-empty documents, where the two
+#: counts coincide); nl_docs_quality_floor may classify a
+#: pathologically-spaced document differently than text_quality_score does
+#: (ADVICE r09 — documented, not hidden).
 PORTABLE_TOKENS = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
 
 _DIGITS_STRIPPED = "text"

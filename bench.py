@@ -402,11 +402,16 @@ def main() -> None:
         # (~4-way corpus split) and the CDC per-status totalprice rollup
         # (~3-way) — not at the global grain: past ~sf25 the CORPUS total
         # of charge exceeds 2^63 micro-units while every real group still
-        # has 2x headroom (the sf30 leg tripped the global form), and no
-        # benched query sums money without at least these splits. The
-        # grouped bound is exact for the suite and still aborts loudly
-        # near sf55-60, where q1's largest group genuinely overflows and
-        # the operators would need their stable_sum_wide forms.
+        # has 2x headroom (the sf30 leg tripped the global form). One
+        # benched query DOES sum money globally with no group split:
+        # tpch_q6's filtered revenue — so its exact slice gets its own
+        # ungrouped guard below (ADVICE r09: the grouped bounds do not
+        # imply anything about a global sum; q6's safety rests on its
+        # filter selectivity, which this checks rather than assumes).
+        # Together the bounds are exact for the suite and still abort
+        # loudly near sf55-60, where q1's largest group genuinely
+        # overflows and the operators would need their stable_sum_wide
+        # forms.
         lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         charge = (
             F.col("l_extendedprice")
@@ -418,6 +423,22 @@ def main() -> None:
             "charge",
             group_cols=["l_returnflag", "l_linestatus"],
         )
+        # tpch_q6's global filtered sum, at its exact slice and expression
+        # (the filters push into the scan, so this reads a fraction of the
+        # corpus).
+        q6_slice = lineitem.where(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+            )
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).select((F.col("l_extendedprice") * F.col("l_discount")).alias("rev"))
+        assert_microunit_headroom(q6_slice, "rev")
         orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
         assert_microunit_headroom(
             orders.select("o_orderstatus", "o_totalprice"),

@@ -221,8 +221,10 @@ spark.stop()
 def test_prune_stale_warehouse_on_start(tmp_path):
     """Startup prune (r08 verdict item 7): a SIGKILLed predecessor's
     token-suffixed dirs must be removed as soon as any new process starts —
-    dead-pid dirs immediately, live-pid dirs only past the 1 h age guard,
-    non-token dirs never."""
+    dead-pid dirs immediately, live-pid dirs NEVER (ADVICE r09: parquet
+    dir mtimes do not advance on read, so an age guard here would delete
+    a live >1h session's tables out from under it; recycled-pid residue
+    is the owning family's in-write prune's job), non-token dirs never."""
     import os
     import time
 
@@ -255,10 +257,10 @@ def test_prune_stale_warehouse_on_start(tmp_path):
     removed = prune_stale_warehouse(str(wh))
 
     left = sorted(os.listdir(wh))
-    assert removed == 2
+    assert removed == 1
     assert left == sorted(
         [f"cdc_base_def456_{os.getpid()}_ffffff", "bk_cust_abc_1_0a0b0c",
-         "plain_table"]
+         "cdc_inc_xyz_1_0d0e0f", "plain_table"]
     )
 
 
