@@ -321,16 +321,21 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     Delta iteration (r08 verdict item 4 — the fixed cadence paid a full
     labels-x-labels join per round just to COUNT changes, and re-sent
     every node's label every round): each round propagates only from the
-    FRONTIER (nodes whose label changed last round), the change flag is
-    computed inline so convergence costs one filter-count over the
-    already-checkpointed result instead of a shuffle join, and the loop
-    exits the moment the frontier is empty. Frontier-only messaging is
-    correct for MIN propagation because labels only ever decrease: a
-    stable neighbor's label was already incorporated the round it last
-    changed (or at initialization). Same-process A/B at sf0.1 under the
-    bench config (see tools/components_ab.py): the verdict is recorded
-    there; semantics pinned unchanged by the DuckDB recursive-CTE oracle.
+    FRONTIER (nodes whose label changed last round), the change count is
+    OBSERVED during the round's checkpoint job itself (pyspark
+    Observation — r09 verdict minor item: the separate
+    ``frontier.count()`` scheduled one extra driver job per round), and
+    the loop exits the moment the frontier is empty. Frontier-only
+    messaging is correct for MIN propagation because labels only ever
+    decrease: a stable neighbor's label was already incorporated the
+    round it last changed (or at initialization). Same-process A/B at
+    sf0.1 under the bench config (see tools/components_ab.py): the
+    verdict is recorded there; semantics pinned unchanged by the DuckDB
+    recursive-CTE oracle.
     """
+    import uuid
+
+    from pyspark.sql import Observation
     # NOTE: the self-union does NOT double-execute the pair build — the two
     # branches share their exchanges (ReuseExchange), so pre-checkpointing
     # ``pairs`` only adds a serialization step (measured slower in
@@ -351,6 +356,7 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             .groupBy(edges.a_id)
             .agg(F.min("label").alias("nmin"))
         )
+        obs = Observation(f"cc_chg_{uuid.uuid4().hex[:8]}")
         new_labels = (
             labels.join(neighbor_min, labels.node == F.col("a_id"), "left")
             .select(
@@ -360,11 +366,12 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
                 ).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("chg"),
             )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
             .localCheckpoint()
         )
         frontier = new_labels.where("chg").select("node", "label")
         labels = new_labels.select("node", "label")
-        if frontier.count() == 0:
+        if not (obs.get["n_chg"] or 0):
             break
     else:
         raise RuntimeError(

@@ -531,6 +531,43 @@ def prune_stale_warehouse(warehouse: str | None = None) -> int:
     return removed
 
 
+def warehouse_scratch_root(spark, family: str) -> str:
+    """Per-process scratch root INSIDE the Spark warehouse directory — the
+    cluster-safe home for streaming state and staged feed layouts (r09
+    verdict item 2: ``/tmp`` paths are driver-local on a real cluster, so
+    executor-written parquet under them lands on per-machine disks and the
+    driver's read back fails; ``spark.sql.warehouse.dir`` is the one
+    filesystem root every executor provably shares, because the managed
+    tables already live there). The dir name carries the per-process
+    token, so the existing exit cleanup removes it on graceful exit and
+    :func:`prune_stale_warehouse` removes dead-pid residue at the next
+    startup — streaming scratch now follows exactly the lifecycle the
+    ``cdcsb_*`` tables do."""
+    import os
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _register_exit_cleanup(warehouse)
+    root = os.path.join(warehouse, f"{family}_{_session_token()}")
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def warehouse_scratch_dir(spark, family: str) -> str:
+    """A fresh per-invocation directory under this process's
+    :func:`warehouse_scratch_root` (the tempfile.mkdtemp replacement for
+    state that must outlive the creating function — the whole root is
+    exit-cleaned, so no per-dir atexit registration is needed)."""
+    import os
+    import uuid
+
+    d = os.path.join(
+        warehouse_scratch_root(spark, family), uuid.uuid4().hex[:12]
+    )
+    os.makedirs(d)
+    return d
+
+
 def _session_token() -> str:
     """Per-process suffix for warehouse table names: two concurrent
     sessions sharing the repo-local warehouse can never write (or delete)

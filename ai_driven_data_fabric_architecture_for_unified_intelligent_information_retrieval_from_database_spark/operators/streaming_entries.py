@@ -176,10 +176,14 @@ def streaming_static_enrichment(spark, sf_dir):
 def streaming_daily_rollup(spark, sf_dir):
     """The maintained daily rollup TABLE, as materialized by the streaming
     update-mode drain through foreachBatch dynamic-partition overwrite —
-    the correctness gate reads what landed on disk, end to end."""
-    import tempfile
+    the correctness gate reads what landed on disk, end to end. The table
+    lives under the warehouse scratch root (executor-shared filesystem,
+    exit-cleaned), never a driver-local temp dir."""
+    import os
 
-    path = tempfile.mkdtemp(prefix="reg_rollup_") + "/daily"
+    from .scale import warehouse_scratch_dir
+
+    path = os.path.join(warehouse_scratch_dir(spark, "rollup"), "daily")
     ru.maintain_daily_rollup(
         sw.events_stream(spark, sf_dir), path, query_name="reg_stream_rollup"
     )
@@ -353,22 +357,21 @@ def streaming_cdc_upsert(spark, sf_dir):
     deployment points the merge at the bucketed or partitioned target
     (cdc_merge_incremental / cdc_merge_pruned) so the snapshot side
     stops shuffling — same foreachBatch, different target layout."""
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from ..sources.catalog import register_views
-    from .scale import _cached_layout, _corpus_digest
+    from .scale import _cached_layout, _corpus_digest, warehouse_scratch_dir, warehouse_scratch_root
 
     register_views(spark, sf_dir)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # The 4-part staged replay is a LAYOUT of the corpus: written once per
     # corpus through the shared digest-keyed cache (the r08 review found
     # a fresh mkdtemp full-corpus rewrite leaking per invocation — the
-    # same leftover-dirs class the warehouse exit cleanup fixed).
+    # same leftover-dirs class the warehouse exit cleanup fixed). The
+    # cache root lives under the warehouse (executor-shared filesystem,
+    # exit-cleaned per process), not /tmp — r09 verdict item 2.
     stage = _cached_layout(
-        "/tmp/cdc_stream_parts_cache",
+        warehouse_scratch_root(spark, "stgcdc"),
         _corpus_digest(raw),
         "events_4part",
         lambda p: raw.repartition(4).write.mode("overwrite").parquet(p),
@@ -377,9 +380,8 @@ def streaming_cdc_upsert(spark, sf_dir):
     ev = sw.events_stream_from_dir(spark, sf_dir, stage, max_files_per_trigger=1)
     # State versions are per-invocation scratch: the final version must
     # outlive this function (the returned DataFrame reads it lazily), so
-    # removal is deferred to interpreter exit.
-    ver_root = tempfile.mkdtemp(prefix="cdc_upsert_state_")
-    atexit.register(shutil.rmtree, ver_root, ignore_errors=True)
+    # the whole scratch root is removed only at interpreter exit.
+    ver_root = warehouse_scratch_dir(spark, "cdcver")
     state = {"path": None}
 
     def _merge(batch_df, batch_id):
@@ -429,6 +431,26 @@ def streaming_cdc_upsert(spark, sf_dir):
     )
 
 
+#: Bucket count of the streaming CDC profile snapshot (join co-location)
+#: and the partition fan-out of its directory layout (rewrite pruning).
+#: N_STATE_PARTS divides N_STATE_BUCKETS and both derive from the same
+#: Murmur3 hash, so a partition holds exactly N_STATE_BUCKETS/N_STATE_PARTS
+#: whole buckets — partition pruning never splits a bucket, and a write
+#: task (one bucket's worth of SMJ output) lands in exactly one partition
+#: dir. At 100 TB both scale up together (e.g. 4096/256); the ratio is
+#: what bounds files-per-rewrite.
+N_STATE_BUCKETS = 16
+N_STATE_PARTS = 4
+
+
+def _state_pb(key):
+    """Partition id of a merge key in the profile snapshot's directory
+    layout: the same Murmur3 hash Spark's bucketing uses, mod
+    N_STATE_PARTS — so pb == bucket_id mod N_STATE_PARTS, which is the
+    alignment the layout's pruning guarantees rest on."""
+    return F.pmod(F.hash(key), F.lit(N_STATE_PARTS))
+
+
 def merge_profile_state(snapshot: DataFrame, batch_latest: DataFrame) -> DataFrame:
     """ONE steady-state MERGE pass of a keyed profile snapshot with one
     micro-batch's latest rows: struct-max recency, counts accumulate.
@@ -457,6 +479,151 @@ def merge_profile_state(snapshot: DataFrame, batch_latest: DataFrame) -> DataFra
     return merged
 
 
+def _batch_latest(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's per-key latest row + count — the delta-grain
+    argmax every CDC upsert form here starts from."""
+    return batch_df.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("s"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def create_profile_state(ss, table: str, batch_latest: DataFrame) -> None:
+    """Materialize the FIRST batch as the profile snapshot table:
+    partitioned by pb (hash(user_id) mod N_STATE_PARTS — the rewrite-
+    pruning axis) and bucketed+sorted on user_id within each partition
+    (the zero-exchange-join axis). Because pb and bucket id derive from
+    the same hash, a delta-shuffled write task holds exactly one bucket
+    and therefore lands in at most N_STATE_PARTS files."""
+    from .scale import prepare_table_location
+
+    prepare_table_location(ss, table, "cdcsb_")
+    (
+        batch_latest.withColumn("pb", _state_pb(F.col("user_id")))
+        .write.partitionBy("pb")
+        .bucketBy(N_STATE_BUCKETS, "user_id")
+        .sortBy("user_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def merge_upsert_pruned(ss, table: str, batch_latest: DataFrame):
+    """Build ONE steady-state micro-batch MERGE plan against the
+    partitioned+bucketed profile snapshot, reading ONLY the partitions
+    the delta touches. Returns ``(merged, touched)`` — the caller commits
+    with :func:`overwrite_touched_partitions`. Shared verbatim by the
+    foreachBatch of streaming_cdc_upsert_bucketed and the plan/IO gates
+    in tests/test_plans.py, so the gated plan can never drift from the
+    executed one.
+
+    Shape: the delta is localCheckpointed once (it is read twice — the
+    partition predicate and the join side), with the distinct pb set
+    OBSERVED during the checkpoint job itself (pyspark Observation), so
+    deriving the driver-side partition predicate costs zero extra jobs.
+    The state scan carries PartitionFilters on pb AND stays a bucketed
+    read, so the full-outer SortMergeJoin has ZERO exchange between join
+    and state scan — only the delta shuffles, into the bucket scheme.
+    The merged output's pb is recomputed from user_id (deterministic
+    hash), not threaded through the join."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"touched_pb_{uuid.uuid4().hex[:8]}")
+    delta = (
+        batch_latest.withColumn("pb", _state_pb(F.col("user_id")))
+        .observe(obs, F.collect_set("pb").alias("pbs"))
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(obs.get["pbs"])
+    # The micro-batch clone session may hold a stale file listing from a
+    # previous invocation's same-named table — refresh before reading, or
+    # overwritten files resurface as FAILED_READ_FILE.
+    ss.catalog.refreshTable(table)
+    cur = ss.table(table).where(F.col("pb").isin(touched)).drop("pb")
+    merged = merge_profile_state(cur, delta.drop("pb"))
+    return merged.withColumn("pb", _state_pb(F.col("user_id"))), touched
+
+
+def overwrite_touched_partitions(ss, table: str, merged: DataFrame) -> None:
+    """Commit one batch's merge by DYNAMIC partition overwrite: only the
+    pb partitions present in ``merged`` (== the touched set, since merged
+    rows keep their original pb) get new files; untouched partitions are
+    untouched FILES, never opened. This is the file-skipping a lakehouse
+    MERGE INTO performs, on vanilla parquet: per-partition staging +
+    rename is the commit step, atomic per PARTITION, not per batch. A
+    crash mid-commit followed by an availableNow replay would re-apply
+    the delta's counts to the partitions that had already committed;
+    exactly-once across a multi-partition commit is precisely what a
+    transaction log (Delta/Iceberg) adds, and the demo accepts
+    at-least-once on that narrow failure window in exchange for running
+    on plain parquet."""
+    import uuid
+
+    old = ss.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        view = f"merge_src_{uuid.uuid4().hex[:8]}"
+        merged.createOrReplaceTempView(view)
+        ss.sql(
+            f"INSERT OVERWRITE TABLE {table} "
+            f"SELECT user_id, s, n_events, pb FROM {view}"
+        )
+        ss.catalog.dropTempView(view)
+    finally:
+        ss.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def cdc_upsert_pruned_drain(
+    spark, sf_dir: str, stage: str, table: str, expect_batches: int | None = None
+) -> DataFrame:
+    """Drain a staged change feed through the partition-pruned steady-state
+    upsert into ``table`` — shared by the registered entry (4-part cached
+    stage) and the shuffled-replay invariance test (8-part shuffled
+    stage), so the tested drain IS the shipped one. Returns the final
+    snapshot projected to the oracle's columns. ``expect_batches`` guards
+    against the drain silently collapsing into fewer micro-batches than
+    the replay intends (which would make a batching-invariance claim
+    vacuous)."""
+    ev = sw.events_stream_from_dir(spark, sf_dir, stage, max_files_per_trigger=1)
+    state = {"init": False}
+
+    def _merge(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        latest = _batch_latest(batch_df)
+        if not state["init"]:
+            create_profile_state(ss, table, latest)
+            state["init"] = True
+        else:
+            merged, _ = merge_upsert_pruned(ss, table, latest)
+            overwrite_touched_partitions(ss, table, merged)
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .queryName(f"drain_{table}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if expect_batches is not None:
+        fed = [p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0]
+        assert len(fed) == expect_batches, (
+            f"expected {expect_batches} one-file micro-batches, saw {len(fed)}"
+        )
+    # Read-side staleness hazard: this parent session may have cached the
+    # previous invocation's file listing for the same table name.
+    spark.catalog.refreshTable(table)
+    return spark.table(table).select(
+        "user_id",
+        F.col("s.ts").cast("timestamp_ntz").alias("last_ts"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        "n_events",
+    )
+
+
 @query_sfdir(
     "streaming_cdc_upsert_bucketed",
     oracle="""
@@ -474,102 +641,64 @@ def merge_profile_state(snapshot: DataFrame, batch_latest: DataFrame) -> DataFra
         FROM ranked WHERE rn = 1
     """,
     covers="2.9 + CDC STEADY STATE: continuous upsert ingest into a "
-    "BUCKETED snapshot — each micro-batch's MERGE reads the state with "
-    "zero snapshot-side exchange (only the delta shuffles, into the "
-    "bucket scheme) and writes it back bucketed without splitting files",
+    "partitioned+bucketed snapshot — each micro-batch's MERGE reads the "
+    "state with zero snapshot-side exchange AND rewrites only the "
+    "partitions its delta touches (dynamic partition overwrite); "
+    "untouched partitions are untouched files",
 )
 def streaming_cdc_upsert_bucketed(spark, sf_dir):
-    """The steady-state twin of streaming_cdc_upsert (r08 verdict item 5):
-    the same 4-micro-batch change stream, but foreachBatch MERGEs into a
-    snapshot persisted as a table BUCKETED on the merge key — the target
-    layout cdc_merge_incremental demonstrates for batch CDC, now driven
-    by the real streaming engine.
+    """The steady-state twin of streaming_cdc_upsert: the same
+    4-micro-batch change stream, but foreachBatch MERGEs into ONE
+    persistent snapshot table partitioned by pb = hash(user_id) mod
+    N_STATE_PARTS and bucketed+sorted on user_id within each partition —
+    composing cdc_merge_incremental's zero-exchange join layout with
+    cdc_merge_pruned's touched-partitions-only rewrite (r09 verdict
+    item 1: the previous form rewrote the FULL snapshot version per
+    batch, O(|state|) I/O per batch, the one real scale gap).
 
-    Per-batch plan shape (gated in tests/test_plans.py through the
-    shared :func:`merge_profile_state`): the full-outer SortMergeJoin
-    reads the bucketed state scan with NO exchange between join and scan
-    — only the micro-batch delta (small by definition) shuffles, into
-    the 16-bucket scheme — and the merge output is already
-    hash(user_id)-partitioned, so the bucketed write back splits no
-    files. Per-batch cost is O(|delta| shuffle + state rewrite), never
-    O(|state| shuffle): at 100 TB the demo's full state rewrite narrows
-    to touched partitions exactly as cdc_merge_pruned shows (a lakehouse
-    MERGE INTO's file skipping); the join itself already never
-    re-exchanges the big side. Batch-boundary invariance (struct-max +
-    count are associative/commutative across any batching) is what makes
-    the exact whole-corpus oracle legitimate — same argument as the
-    unbucketed entry, same shuffled-replay pin in tests/test_streaming.py.
-    Each batch writes a NEW bucketed table version and drops the previous
-    one after the write commits (vanilla parquet has no transaction log;
-    the version swap is the atomic step)."""
+    Per-batch shape (gated in tests/test_plans.py through the shared
+    :func:`merge_upsert_pruned` / :func:`overwrite_touched_partitions`):
+    the delta's distinct pb set prunes the state scan
+    (PartitionFilters), the scan stays bucketed so the full-outer
+    SortMergeJoin pays NO exchange between join and state scan, only the
+    delta shuffles into the bucket scheme, and the dynamic partition
+    overwrite replaces files ONLY under touched pb dirs — the IO gate
+    proves an untouched partition's files survive a batch byte-for-byte.
+    Per-batch cost is O(|touched partitions| + |delta|), never
+    O(|state|): with a localized delta (the steady-state norm — late
+    keys cluster) most of a 100 TB snapshot is never read or written;
+    this demo's hash-scattered replay touches all N_STATE_PARTS=4
+    partitions, so the demo timing shows the layout's overhead floor,
+    not its pruning win — the win is the gated mechanism.
+
+    Batch-boundary invariance (struct-max + count are associative and
+    commutative across any batching) makes the exact whole-corpus oracle
+    legitimate — same argument as the unbucketed entry, same
+    shuffled-replay pin in tests/test_streaming.py. Commit is dynamic
+    partition overwrite (per-partition staging + rename) on one table,
+    not a versioned table swap: vanilla parquet has no transaction log,
+    so the multi-partition commit is atomic per partition only — the
+    lakehouse-log caveat overwrite_touched_partitions documents."""
     import os
 
     from ..sources.catalog import register_views
-    from ..sources.sinks import write_bucketed
     from .scale import (
         _cached_layout,
         _corpus_digest,
         _session_token,
-        prepare_table_location,
+        warehouse_scratch_root,
     )
 
     register_views(spark, sf_dir)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stage = _cached_layout(
-        "/tmp/cdc_stream_parts_cache",
+        warehouse_scratch_root(spark, "stgcdc"),
         _corpus_digest(raw),
         "events_4part",
         lambda p: raw.repartition(4).write.mode("overwrite").parquet(p),
     )
-    ev = sw.events_stream_from_dir(spark, sf_dir, stage, max_files_per_trigger=1)
-
-    digest = _corpus_digest(raw)
-    tok = _session_token()
-    state = {"tbl": None}
-
-    def _merge(batch_df, batch_id):
-        ss = batch_df.sparkSession
-        batch_latest = batch_df.groupBy("user_id").agg(
-            F.max(F.struct("ts", "event_id", "event_type")).alias("s"),
-            F.count("*").alias("n_events"),
-        )
-        if state["tbl"] is None:
-            merged = batch_latest
-        else:
-            # The writes land on the micro-batch CLONE session; any OTHER
-            # session (a previous invocation's parent, a different clone)
-            # may hold a stale cached file listing for a same-named
-            # version table from an earlier drain — refresh before
-            # reading, or the overwrite's deleted files resurface as
-            # FAILED_READ_FILE (caught by the repeated-invocation pass in
-            # the local differential suite).
-            ss.catalog.refreshTable(state["tbl"])
-            merged = merge_profile_state(ss.table(state["tbl"]), batch_latest)
-        new_tbl = f"cdcsb_{digest}_v{batch_id}_{tok}"
-        prepare_table_location(ss, new_tbl, "cdcsb_")
-        write_bucketed(merged, new_tbl, "user_id", n_buckets=16, sort_col="user_id")
-        if state["tbl"] is not None:
-            ss.sql(f"DROP TABLE IF EXISTS {state['tbl']}")
-        state["tbl"] = new_tbl
-
-    q = (
-        ev.writeStream.foreachBatch(_merge)
-        .queryName("reg_stream_cdc_upsert_bucketed")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # Same staleness hazard on the read side: this parent session may have
-    # cached the previous invocation's file listing for the same final
-    # version name before the clone's overwrite replaced the files.
-    spark.catalog.refreshTable(state["tbl"])
-    return spark.table(state["tbl"]).select(
-        "user_id",
-        F.col("s.ts").cast("timestamp_ntz").alias("last_ts"),
-        F.col("s.event_id").alias("last_event_id"),
-        F.col("s.event_type").alias("last_event_type"),
-        "n_events",
-    )
+    table = f"cdcsb_{_corpus_digest(raw)}_{_session_token()}"
+    return cdc_upsert_pruned_drain(spark, sf_dir, stage, table)
 
 
 def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
@@ -578,20 +707,23 @@ def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
     the shuffled-replay invariance test (8-part shuffled layout), so the
     tested drain IS the shipped one. See streaming_dedup_minhash for the
     semantics and scale notes. Returns the accumulated verified pairs."""
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from .dedup import MINHASH_VERIFY_THRESHOLD, _band_buckets, minhash_signatures
+    from .scale import warehouse_scratch_dir
 
     docs = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    root = tempfile.mkdtemp(prefix="dedup_stream_state_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    # Band/signature/pair state lives under the warehouse scratch root —
+    # the executor-shared filesystem the managed tables already use, so
+    # this layout survives the jump from local[32] to a real cluster
+    # (r09 verdict item 2: the previous /tmp dirs only worked where
+    # driver and executors share a disk). Exit-cleaned per process; the
+    # returned pairs DataFrame reads it lazily until then.
+    root = warehouse_scratch_dir(spark, "ddst")
     buckets_dir = os.path.join(root, "buckets")
     hs_dir = os.path.join(root, "hsets")
     pairs_dir = os.path.join(root, "pairs")
@@ -653,9 +785,14 @@ def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
             F.greatest("new_id", "old_id").alias("b_id"),
             jac.alias("jaccard"),
         ).where(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
-        # Appends commit in-batch order: pairs first, then state, so a
-        # mid-batch failure can only UNDER-report (and the retry re-finds
-        # the pair) rather than leave phantom base entries.
+        # Appends commit in-batch order: pairs first, then state. A
+        # mid-batch failure between those commits makes the availableNow
+        # REPLAY re-run the batch and append the same pair rows again
+        # (ADVICE r09 — the old comment claimed under-reporting; the
+        # truth is over-reporting). Pair rows are value-identical across
+        # replays, so the read-side distinct below restores exactly-once
+        # cheaply; state appends stay last so a replayed batch can never
+        # see its own bands as "base" and drop a split pair.
         pairs.write.mode("append").parquet(pairs_dir)
         buckets.write.mode("append").parquet(buckets_dir)
         hs.write.mode("append").parquet(hs_dir)
@@ -668,7 +805,15 @@ def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(pairs_dir).select("a_id", "b_id", "jaccard")
+    # distinct = retry idempotency (see the in-batch comment): a replayed
+    # batch's duplicate pair rows collapse; genuinely distinct pairs are
+    # found exactly once by construction, so this is a no-op on a clean
+    # run and the exact-Jaccard oracle row set either way.
+    return (
+        spark.read.parquet(pairs_dir)
+        .select("a_id", "b_id", "jaccard")
+        .distinct()
+    )
 
 
 def _register_streaming_dedup() -> None:
@@ -726,20 +871,21 @@ def _register_streaming_dedup() -> None:
 
         Scale shape per batch: O(|delta| shingles + matched buckets +
         verified candidates). The state is an append-only (doc_id, sz,
-        band_idx, band_key) relation plus the signature sets — at 100 TB
-        both live as bucketed tables on band_key / doc_id (the
-        ensure_bucketed_table discipline) so the probe is
-        partition-local; here they are plain appended parquet, the same
-        layout at demo scale."""
+        band_idx, band_key) relation plus the signature sets, persisted
+        under the warehouse root — the executor-shared filesystem the
+        managed tables use, so the layout carries to a real cluster
+        unchanged; at 100 TB both relations graduate to bucketed tables
+        on band_key / doc_id (the ensure_bucketed_table discipline) so
+        the probe is partition-local."""
         import os
 
         from ..sources.catalog import register_views
-        from .scale import _cached_layout, _corpus_digest
+        from .scale import _cached_layout, _corpus_digest, warehouse_scratch_root
 
         register_views(spark, sf_dir)
         raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         stage = _cached_layout(
-            "/tmp/dedup_stream_parts_cache",
+            warehouse_scratch_root(spark, "stgdds"),
             _corpus_digest(raw),
             "documents_4part",
             lambda p: raw.repartition(4).write.mode("overwrite").parquet(p),

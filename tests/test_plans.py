@@ -496,48 +496,61 @@ def test_broadcast_gate_row_cap(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_streaming_cdc_bucketed_batch_plan_no_snapshot_exchange(spark):
-    """The steady-state streaming upsert's PER-BATCH merge (r08 verdict
-    item 5) must read its bucketed state with ZERO exchange on the
-    snapshot side. Gated through the shared merge_profile_state helper —
-    the exact plan each foreachBatch executes — against a real bucketed
-    state table and a small delta: the full-outer SortMergeJoin's
-    state-scan child has no Exchange between join and scan, and the delta
-    side is the only one that shuffles."""
+def test_streaming_cdc_bucketed_batch_plan_no_snapshot_exchange_and_pruned_io(spark):
+    """The steady-state streaming upsert's PER-BATCH merge (r09 verdict
+    item 1) must (a) read its partitioned+bucketed state with ZERO
+    exchange on the snapshot side AND a PartitionFilters prune to the
+    delta's touched pb set, and (b) REWRITE only the touched partitions
+    — an untouched partition's files survive the commit byte-for-byte.
+    Gated through the shared merge_upsert_pruned /
+    overwrite_touched_partitions helpers — the exact code each
+    foreachBatch executes — against a real state table and a delta
+    localized to ONE pb partition."""
+    import os
+    from urllib.parse import urlparse
+
     from pyspark.sql import functions as F
 
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
         _session_token,
-        prepare_table_location,
     )
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.streaming_entries import (
-        merge_profile_state,
+        N_STATE_BUCKETS,
+        N_STATE_PARTS,
+        _batch_latest,
+        _state_pb,
+        create_profile_state,
+        merge_upsert_pruned,
+        overwrite_touched_partitions,
     )
-    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.sinks import (
-        write_bucketed,
-    )
-
-    def profile(df):
-        return df.groupBy("user_id").agg(
-            F.max(F.struct("ts", "event_id", "event_type")).alias("s"),
-            F.count("*").alias("n_events"),
-        )
 
     ev = spark.createDataFrame(
-        [(i % 50, f"2024-01-01 0{i % 10}:00:00", i, "view") for i in range(200)],
+        [(i, f"2024-01-01 0{i % 10}:00:00", i, "view") for i in range(400)],
         "user_id long, ts_s string, event_id long, event_type string",
-    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "event_type")
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "event_type"
+    )
     tbl = f"cdcsb_plangate_{_session_token()}"
-    prepare_table_location(spark, tbl, "cdcsb_plangate")
-    write_bucketed(profile(ev), tbl, "user_id", n_buckets=16, sort_col="user_id")
+    create_profile_state(spark, tbl, _batch_latest(ev))
     try:
-        merged = merge_profile_state(
-            spark.table(tbl), profile(ev.where(F.col("event_id") % 7 == 0))
+        # A delta localized to one partition: keys whose pb == target.
+        target = 2
+        delta_ev = ev.where(_state_pb(F.col("user_id")) == target).withColumn(
+            "event_id", F.col("event_id") + 10_000
         )
+        merged, touched = merge_upsert_pruned(spark, tbl, _batch_latest(delta_ev))
+        assert touched == [target]
+
         plan = merged._sc._jvm.PythonSQLUtils.explainString(
             merged._jdf.queryExecution(), "formatted"
         )
-        assert "SelectedBucketsCount: 16 out of 16" in plan, plan[:3000]
+        # bucketed read survives the partition filter...
+        assert (
+            f"SelectedBucketsCount: {N_STATE_BUCKETS} out of {N_STATE_BUCKETS}"
+            in plan
+        ), plan[:3000]
+        # ...and the scan is pruned to the touched pb set
+        assert "PartitionFilters" in plan and "pb" in plan, plan[:3000]
         tree = plan.split("\n(1)", 1)[0].splitlines()
         join_depth = None
         subtree = []
@@ -556,7 +569,42 @@ def test_streaming_cdc_bucketed_batch_plan_no_snapshot_exchange(spark):
         )
         assert scan_i is not None, f"no bucketed state scan in: {subtree}"
         assert not any("Exchange" in n for n in subtree[:scan_i]), subtree
-        assert any("Exchange" in n for n in subtree[scan_i + 1:]), subtree
+
+        # IO gate: untouched partitions are untouched FILES.
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(warehouse, tbl.lower())
+
+        def files():
+            out = {}
+            for pb in range(N_STATE_PARTS):
+                d = os.path.join(loc, f"pb={pb}")
+                out[pb] = {
+                    f: os.path.getmtime(os.path.join(d, f))
+                    for f in os.listdir(d)
+                    if not f.startswith(".")
+                }
+            return out
+
+        before = files()
+        overwrite_touched_partitions(spark, tbl, merged)
+        after = files()
+        for pb in range(N_STATE_PARTS):
+            if pb == target:
+                assert before[pb] != after[pb], "touched partition not rewritten"
+            else:
+                assert before[pb] == after[pb], (
+                    f"untouched partition pb={pb} was rewritten"
+                )
+
+        # And the merge applied: counts doubled for the touched keys only.
+        spark.catalog.refreshTable(tbl)
+        got = {
+            r["user_id"]: r["n_events"] for r in spark.table(tbl).collect()
+        }
+        for r in ev.select(
+            "user_id", _state_pb(F.col("user_id")).alias("pb")
+        ).collect():
+            assert got[r["user_id"]] == (2 if r["pb"] == target else 1)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 

@@ -353,25 +353,19 @@ def test_cdc_upsert_state_is_batch_boundary_invariant(spark, tmp_path_factory):
 def test_cdc_upsert_bucketed_state_is_batch_boundary_invariant(
     spark, tmp_path_factory
 ):
-    """Same invariance pin for the BUCKETED steady-state path: replay the
-    corpus as a SHUFFLED 8-file feed, each batch merging through the
-    SHARED merge_profile_state helper into a bucketed version table (the
-    exact shipped per-batch plan), and compare the final state against
-    the registered 4-batch drain."""
+    """Same invariance pin for the partitioned+bucketed steady-state
+    path: replay the corpus as a SHUFFLED 8-file feed through the SHARED
+    cdc_upsert_pruned_drain (the exact shipped drain — pruned merge +
+    dynamic partition overwrite per batch), and compare the final state
+    against the registered 4-batch drain."""
     import os
     import random
 
-    from pyspark.sql import functions as F
-
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
         _session_token,
-        prepare_table_location,
     )
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.streaming_entries import (
-        merge_profile_state,
-    )
-    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.sinks import (
-        write_bucketed,
+        cdc_upsert_pruned_drain,
     )
 
     stage = str(tmp_path_factory.mktemp("cdc_upsert_bk_parts"))
@@ -384,59 +378,14 @@ def test_cdc_upsert_bucketed_state_is_batch_boundary_invariant(
     for i, p in enumerate(order):
         os.utime(os.path.join(stage, p), (base + i, base + i))
 
-    ev = sw.events_stream_from_dir(spark, SF_SMOKE, stage, max_files_per_trigger=1)
-    tok = _session_token()
-    state = {"tbl": None}
-
-    def _merge(batch_df, batch_id):
-        ss = batch_df.sparkSession
-        latest = batch_df.groupBy("user_id").agg(
-            F.max(F.struct("ts", "event_id", "event_type")).alias("s"),
-            F.count("*").alias("n_events"),
-        )
-        if state["tbl"] is None:
-            merged = latest
-        else:
-            ss.catalog.refreshTable(state["tbl"])
-            merged = merge_profile_state(ss.table(state["tbl"]), latest)
-        new_tbl = f"cdcsb_tshuf_v{batch_id}_{tok}"
-        prepare_table_location(ss, new_tbl, "cdcsb_tshuf")
-        write_bucketed(merged, new_tbl, "user_id", n_buckets=16, sort_col="user_id")
-        if state["tbl"] is not None:
-            ss.sql(f"DROP TABLE IF EXISTS {state['tbl']}")
-        state["tbl"] = new_tbl
-
-    q = (
-        ev.writeStream.foreachBatch(_merge)
-        .queryName("t_cdc_upsert_bk_multibatch")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    fed = [p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0]
-    assert len(fed) == 8, f"expected 8 one-file micro-batches, saw {len(fed)}"
-
-    try:
-        spark.catalog.refreshTable(state["tbl"])
-        got = sorted(
-            tuple(r)
-            for r in spark.table(state["tbl"])
-            .select(
-                "user_id",
-                F.col("s.ts").cast("timestamp_ntz").alias("last_ts"),
-                F.col("s.event_id").alias("last_event_id"),
-                F.col("s.event_type").alias("last_event_type"),
-                "n_events",
-            )
-            .collect()
-        )
-    finally:
-        final_tbl = state["tbl"]
+    tbl = f"cdcsb_tshuf_{_session_token()}"
+    final = cdc_upsert_pruned_drain(spark, SF_SMOKE, stage, tbl, expect_batches=8)
+    got = sorted(tuple(r) for r in final.collect())
     want = sorted(
         tuple(r)
         for r in queries()["streaming_cdc_upsert_bucketed"](spark, SF_SMOKE).collect()
     )
-    spark.sql(f"DROP TABLE IF EXISTS {final_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     assert want, "registered drain returned nothing — vacuous"
     assert got == want
 
