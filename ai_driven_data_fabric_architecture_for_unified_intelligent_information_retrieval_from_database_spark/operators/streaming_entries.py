@@ -724,13 +724,24 @@ def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
     # driver and executors share a disk). Exit-cleaned per process; the
     # returned pairs DataFrame reads it lazily until then.
     root = warehouse_scratch_dir(spark, "ddst")
-    buckets_dir = os.path.join(root, "buckets")
-    hs_dir = os.path.join(root, "hsets")
+    sig_dir = os.path.join(root, "signatures")
     pairs_dir = os.path.join(root, "pairs")
-    state = {"has_base": False}
+    # Durable state is ONE appended relation per batch — the full
+    # signature frame (doc_id, sz, h0..h15, hset), from which both the
+    # band buckets and the verify sets derive (previously bands and sets
+    # were persisted as two separate appends: one extra write job per
+    # batch carrying derivable data). The appends are the source of truth
+    # (a restarted drain rebuilds from them, re-deriving bands with
+    # _band_buckets); WITHIN a live drain the probe reads the accumulated
+    # in-session relations instead — unions of the per-batch
+    # localCheckpointed signature frames, value-identical to the appends,
+    # so batch k pays no O(state-files) re-list + re-read of its own
+    # prior appends (r09 verdict item 6: that re-read was most of the
+    # cell's wall time). This is the state-store-plus-changelog split
+    # every production stateful operator makes.
+    state = {"base_b": None, "base_hs": None}
 
     def _ingest(batch_df, batch_id):
-        ss = batch_df.sparkSession
         sig = minhash_signatures(batch_df, with_sets=True).localCheckpoint()
         buckets = _band_buckets(sig)
         hs = sig.select("doc_id", "sz", "hset")
@@ -753,8 +764,8 @@ def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
             .select("new_id", "old_id", "n_sz", "o_sz")
         )
         old_hs = hs
-        if state["has_base"]:
-            base_b = ss.read.parquet(buckets_dir).select(
+        if state["base_b"] is not None:
+            base_b = state["base_b"].select(
                 F.col("doc_id").alias("old_id"),
                 F.col("sz").alias("o_sz"),
                 "band_idx",
@@ -765,9 +776,7 @@ def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
                     "new_id", "old_id", "n_sz", "o_sz"
                 )
             )
-            old_hs = hs.unionAll(
-                ss.read.parquet(hs_dir).select("doc_id", "sz", "hset")
-            )
+            old_hs = hs.unionAll(state["base_hs"])
         cand = cand.distinct()
         j = cand.join(
             hs.select(F.col("doc_id").alias("new_id"), F.col("hset").alias("n_set")),
@@ -791,12 +800,22 @@ def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
         # (ADVICE r09 — the old comment claimed under-reporting; the
         # truth is over-reporting). Pair rows are value-identical across
         # replays, so the read-side distinct below restores exactly-once
-        # cheaply; state appends stay last so a replayed batch can never
-        # see its own bands as "base" and drop a split pair.
+        # cheaply; the state append stays last so a replayed batch can
+        # never see its own bands as "base" and drop a split pair.
         pairs.write.mode("append").parquet(pairs_dir)
-        buckets.write.mode("append").parquet(buckets_dir)
-        hs.write.mode("append").parquet(hs_dir)
-        state["has_base"] = True
+        sig.write.mode("append").parquet(sig_dir)
+        # In-session state advances only AFTER the appends commit, so a
+        # retried batch sees exactly the base the durable state holds
+        # (buckets/hs are narrow derivations of the checkpointed sig —
+        # the union accumulates checkpointed frames, no lineage growth
+        # beyond one node per batch).
+        state["base_b"] = (
+            buckets if state["base_b"] is None
+            else state["base_b"].unionAll(buckets)
+        )
+        state["base_hs"] = (
+            hs if state["base_hs"] is None else state["base_hs"].unionAll(hs)
+        )
 
     q = (
         docs.writeStream.foreachBatch(_ingest)
