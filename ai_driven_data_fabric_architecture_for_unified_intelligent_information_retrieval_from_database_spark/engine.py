@@ -180,8 +180,27 @@ class DataFabricEngine:
             if planned is None:
                 planned = self.planner.plan_cascade(user_query)
             sql_query = planned.sql
-            validated = validate_select(self.spark, sql_query, self.tables)
-            exec_result = self._execute(validated.sql)
+            if getattr(planned, "operator", None):
+                # Operator-routed star plan: the Spark-side answer is a
+                # library operator (LSH near-dup, ANN — algorithms SQL
+                # cannot express scalably); planned.sql holds the
+                # question's reference SQL semantics, reported for
+                # transparency (and run differentially as the oracle by
+                # the driver gate). SQL validation does not apply — no
+                # SQL executes; the operator reads only the plan's
+                # allowlisted tables, which the gate above checked.
+                from .operators.nl import run_nl_operator
+
+                df = run_nl_operator(
+                    self.spark,
+                    {n: self.spark.table(n) for n in planned.tables},
+                    planned.operator,
+                    planned.operator_args,
+                )
+                exec_result = self._execute_df(df)
+            else:
+                validated = validate_select(self.spark, sql_query, self.tables)
+                exec_result = self._execute(validated.sql)
             response: dict[str, Any] = {
                 "success": exec_result["success"],
                 "original_query": user_query,
@@ -237,9 +256,23 @@ class DataFabricEngine:
         past the cap distinguishes "exactly cap rows" from truncation,
         reported via the ``truncated`` flag."""
         try:
+            return self._execute_df(self.spark.sql(sql))
+        except Exception as exc:
+            return {
+                "success": False,
+                "error": str(exc),
+                "data": [],
+                "columns": [],
+                "row_count": 0,
+                "execution_time": 0,
+            }
+
+    def _execute_df(self, df) -> dict[str, Any]:
+        """Collect + serialize a planned DataFrame under the result-row cap
+        (shared by the SQL path and the operator-routed NL path)."""
+        try:
             start = time.time()
             cap = self.max_result_rows
-            df = self.spark.sql(sql)
             columns = df.columns
             rows = [tuple(r) for r in df.limit(cap + 1).collect()]
             truncated = len(rows) > cap
@@ -337,8 +370,18 @@ class DataFabricEngine:
                     planned = star
             if planned is None:
                 planned = self.planner.plan_cascade(user_query)
-            validated = validate_select(self.spark, planned.sql, self.tables)
-            df = self.spark.sql(validated.sql)
+            if getattr(planned, "operator", None):
+                from .operators.nl import run_nl_operator
+
+                df = run_nl_operator(
+                    self.spark,
+                    {n: self.spark.table(n) for n in planned.tables},
+                    planned.operator,
+                    planned.operator_args,
+                )
+            else:
+                validated = validate_select(self.spark, planned.sql, self.tables)
+                df = self.spark.sql(validated.sql)
             physical = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )

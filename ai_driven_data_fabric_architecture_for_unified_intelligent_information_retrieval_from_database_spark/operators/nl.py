@@ -56,6 +56,68 @@ _NL_CASES = {
 }
 
 
+def run_nl_operator(spark, tables, operator: str, args: tuple = ()):
+    """Execute an operator-routed NL plan (StarPlan.operator) over an
+    already-registered view set — the engine's and the registry entries'
+    shared dispatch, so the NL->operator path has exactly one
+    implementation. The operator names are the planner's contract; each
+    resolves to a library operator body (the ``raw`` attribute the query
+    decorator preserves) or a parameterized kernel."""
+    from .dedup import dedup_cluster_representatives, dedup_minhash_lsh
+    from .similarity import bruteforce_topk
+
+    if operator == "dedup_minhash_lsh":
+        return dedup_minhash_lsh.raw(spark, tables)
+    if operator == "dedup_cluster_representatives":
+        return dedup_cluster_representatives.raw(spark, tables)
+    if operator == "similarity_topk":
+        return bruteforce_topk(tables, *args)
+    raise KeyError(f"unknown NL operator route: {operator}")
+
+
+#: Operator-routed NL cases (r09 verdict item 7): the question routes to a
+#: library operator (LSH near-dup, cluster representatives, ANN top-k)
+#: while the planner emits the question's exact SQL meaning as the
+#: reference — the driver runs the Spark OPERATOR against that SQL on
+#: DuckDB, differentially verifying the whole NL->operator dispatch.
+_NL_OPERATOR_CASES = {
+    "nl_docs_near_duplicates": (
+        "Find near-duplicate document pairs",
+        "docs_near_duplicates",
+    ),
+    "nl_docs_similar_embeddings": (
+        "Show the 10 documents most similar to document 0",
+        "docs_similar_to",
+    ),
+    "nl_docs_dedup_survivors": (
+        "Deduplicate the documents and keep the best copy of each "
+        "duplicate cluster",
+        "docs_dedup_survivors",
+    ),
+}
+
+
+def _register_operator_route(name: str, question: str, expected_branch: str) -> None:
+    planned = plan_star(question)
+    assert (
+        planned is not None
+        and planned.branch == expected_branch
+        and planned.operator is not None
+    ), f"{name}: planner produced {planned and planned.branch}"
+    op, args, sql = planned.operator, planned.operator_args, planned.sql
+
+    @query(
+        name,
+        oracle=sql,  # the emitted reference SQL — the question's exact meaning
+        covers=f"N1-N3 + dedup/similarity NL routing: {expected_branch} "
+        f"-> operator {op} ({question!r})",
+    )
+    def _run(spark, t, _op=op, _args=args):
+        return run_nl_operator(spark, t, _op, _args)
+
+    _run.__name__ = f"query_{name}"
+
+
 def _register(name: str, question: str, expected_branch: str) -> None:
     planned = plan_star(question)
     assert planned is not None and planned.branch == expected_branch, (
@@ -76,3 +138,6 @@ def _register(name: str, question: str, expected_branch: str) -> None:
 
 for _name, (_question, _branch) in _NL_CASES.items():
     _register(_name, _question, _branch)
+
+for _name, (_question, _branch) in _NL_OPERATOR_CASES.items():
+    _register_operator_route(_name, _question, _branch)

@@ -46,88 +46,70 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: regardless).  Round-window history lives in README.md ("Correctness window
 #: rotation").
 #:
-#: Round 9 window (r08 verdict task 1: every registered entry gets a
-#: driver-green row, none older than r06). Composition:
-#: 1. the 3 entries that have NEVER been driver-sampled (they yielded
-#:    their r08 slots to the stale tail; the verdict asks them fronted);
-#: 2. everything round 9 ADDED or value-touched — the new bucketed
-#:    streaming CDC upsert, the three curation-surface nl_* routes, the
-#:    WAV payload clamp/pad fix (decode_wav_real is in group 1;
-#:    decode_any's oracle changed with it), and the entries whose
-#:    operators were rewritten with values verified unchanged
-#:    (dedup_components/cluster_representatives frontier propagation,
-#:    PageRank clone sizing, pack_context_windows integer DIV,
-#:    streaming_cdc_upsert oracle tiebreak);
-#: 3. all 29 entries last driver-checked in r04 — after this window no
-#:    entry's last check is older than r06 (the r06 tail of 41 rotates
-#:    next round);
-#: 4. padding with the oldest r06 head past the ~50 sample.
+#: Round 10 window (r09 verdict task 5: front the r06 tail — the oldest
+#: cohort after the r09 rotation — so no entry's latest driver check is
+#: older than r07). Composition:
+#: 1. everything round 10 ADDED or operator-touched — the
+#:    partition-pruned streaming CDC upsert rewrite (same oracle, new
+#:    merge/commit path), the streaming dedup state rework (in-session
+#:    probe + single state append), the entries riding
+#:    min_label_components' observed-convergence change, the
+#:    warehouse-scratch path moves (streaming_cdc_upsert,
+#:    streaming_daily_rollup), and the new nl_* dedup/similarity routes;
+#: 2. all 39 entries last driver-checked in r06 — after this window
+#:    every entry's latest check is r07 or newer.
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # --- never driver-sampled (r08 verdict item 1) ---
-    "multimodal_decode_wav_real",
-    "multimodal_decode_y4m_real",
-    "pipeline_datacard_manifest",
-    # --- round-9 new entries ---
+    # --- round-10 new / operator-touched ---
     "streaming_cdc_upsert_bucketed",
-    "nl_docs_quality_floor",
-    "nl_docs_duplicates",
-    "nl_docs_avg_tokens",
-    "text_bpe_merge_candidates",
-    "text_bigram_surprisal",
     "streaming_dedup_minhash",
-    "nl_revenue_by_nation",
-    "nl_avg_order_value",
-    "nl_count_parts",
-    "dedup_cross_source_matrix",
-    # --- round-9 churn (operators or oracles touched this round) ---
-    "multimodal_decode_any",
-    "sampling_pack_context_windows",
     "streaming_cdc_upsert",
+    "streaming_daily_rollup",
     "dedup_components",
     "dedup_cluster_representatives",
-    "graph_pagerank_parts",
-    # --- last driver-checked r04 ---
-    "events_funnel_conversion",
-    "dedup_exact",
-    "dedup_normalized_groups",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "events_retention_cohorts",
-    "lateral_topn_per_order",
-    "events_path_trigrams",
-    "window_cume_dist_nth",
-    "unpivot_lineitem_measures",
-    "window_ratio_to_report",
-    "tpch_q1_pricing_summary",
-    "grouping_sets_explicit",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q18_large_volume_customers",
-    "dedup_ngram_jaccard",
-    "similarity_bucketed_ann",
-    "events_tumbling_window",
-    "events_user_outliers",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_length_histogram",
-    "partition_pruned_daily_read",
-    "sampling_stratified_quota",
-    "source_orc_roundtrip",
-    "streaming_user_profile",
-    "streaming_sliding_halfhour",
-    # --- oldest r06 head (padding past the ~50 window; these lead the
-    # r10 rotation with the rest of the r06 tail) ---
-    "scan_project_limit",
-    "project_all",
-    "project_computed_alias",
-    "filter_threshold_topk",
+    "nl_docs_near_duplicates",
+    "nl_docs_similar_embeddings",
+    "nl_docs_dedup_survivors",
+    # --- last driver-checked r06 (the whole tail) ---
+    "agg_count_distinct",
+    "agg_count_star",
+    "agg_distinct",
+    "agg_filtered_count",
+    "agg_group_avg",
+    "agg_min_max_avg",
+    "case_when_bucketing",
+    "cdc_scd2_intervals",
+    "dedup_minhash_lsh",
+    "events_markov_transitions",
     "filter_between",
+    "filter_date_range",
+    "filter_disjunction",
     "filter_ilike_lower",
     "filter_ilike_operator",
     "filter_not_null_group_count",
-    "filter_date_range",
+    "filter_threshold_topk",
     "filter_year_extract",
+    "join_anti",
+    "join_inner_filtered",
+    "join_left_agg",
+    "join_semi",
+    "project_computed_alias",
+    "sampling_pack_shards",
+    "sampling_temperature_mix",
+    "scalar_functions",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_multi_col_limit",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "text_tfidf_top_terms",
+    "topk_global",
+    "window_lag_delta",
+    "window_range_interval_trailing",
+    "window_rank_per_group",
+    "window_running_sum",
+    "window_yoy_growth",
 ]
 
 
@@ -146,6 +128,10 @@ def query(name: str, oracle: str | None, covers: str = ""):
 
         wrapped.__name__ = f"query_{name}"
         wrapped.__doc__ = fn.__doc__
+        # the undecorated (spark, tables)-signature body — what the NL
+        # operator dispatch (operators/nl.py) and the engine execute over
+        # an already-registered view set
+        wrapped.raw = fn
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = RegisteredQuery(name=name, fn=wrapped, oracle=oracle, covers=covers)

@@ -143,14 +143,21 @@ def similarity_bruteforce_topk(spark, t):
     join ships one row; the scan side computes one fused expression per
     vector and TakeOrderedAndProject keeps k — O(N) with no shuffle of
     vector data."""
+    return bruteforce_topk(t, qid=0, k=10)
+
+
+def bruteforce_topk(t, qid: int = 0, k: int = 10):
+    """Parameterized exact cosine top-k (the plan the entry above pins) —
+    also the target of the NL route ``docs_similar_to``
+    (plans/star_planner.py), whose parsed (qid, k) land here."""
     e = t["embeddings"]
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    q = e.where(F.col("vec_id") == qid).select(F.col("embedding").alias("q_emb"))
     return (
-        e.where(F.col("vec_id") != 0)
+        e.where(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", cosine_expr("embedding", "q_emb").alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(10)
+        .limit(k)
     )
 
 

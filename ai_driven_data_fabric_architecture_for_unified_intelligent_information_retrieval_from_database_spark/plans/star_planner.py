@@ -68,6 +68,17 @@ class StarPlan:
     sql: str
     branch: str
     tables: tuple[str, ...]
+    #: When set, the plan routes to a library OPERATOR instead of executing
+    #: ``sql`` — for questions whose Spark-side answer is an algorithm SQL
+    #: cannot express scalably (MinHash+LSH near-dup, ANN). ``sql`` then
+    #: holds the REFERENCE semantics of the question (the quadratic ground
+    #: truth, DuckDB-runnable), which is what the engine reports for
+    #: transparency and what the driver gate runs as the oracle — so the
+    #: NL->operator dispatch is differentially verified against the exact
+    #: SQL meaning of the question, the strongest contract available for a
+    #: non-SQL route. Dispatch lives in operators/nl.py::run_nl_operator.
+    operator: str | None = None
+    operator_args: tuple = ()
 
 
 def _first_int(text: str, default: int) -> int:
@@ -204,7 +215,51 @@ def plan_star(question: str) -> StarPlan | None:
 
     # document-corpus questions -------------------------------------------
     if _has_word(q, "document") or _has_word(q, "doc"):
-        # curation-surface routes first: their questions often also carry
+        # dedup/similarity OPERATOR routes first (r09 verdict item 7) —
+        # their questions carry "duplicate"/"how many"-adjacent wording the
+        # generic rules below would otherwise claim. These route to library
+        # operators (LSH, components, ANN); the emitted reference SQL is
+        # the operator's REGISTERED oracle string verbatim (imported from
+        # the registry, so planner and oracle can never drift), see
+        # StarPlan.operator.
+        from ..operators import dedup  # noqa: F401  (registers its entries)
+        from ..operators.registry import REGISTRY as _REG
+
+        if has("near-duplicate", "near duplicate", "near-dup", "near dup"):
+            return StarPlan(
+                sql=_REG["dedup_minhash_lsh"].oracle,
+                branch="docs_near_duplicates",
+                tables=("documents",),
+                operator="dedup_minhash_lsh",
+            )
+        if has("similar to", "closest to", "nearest to"):
+            m = re.search(r"(?:document|doc|vector)\s+(\d+)", q)
+            qid = int(m.group(1)) if m else 0
+            k = _first_int(re.sub(r"(?:document|doc|vector)\s+\d+", "", q), 10)
+            return StarPlan(
+                sql=(
+                    "SELECT vec_id, label, "
+                    "LIST_COSINE_SIMILARITY(embedding::DOUBLE[], "
+                    "(SELECT embedding::DOUBLE[] FROM embeddings "
+                    f"WHERE vec_id = {qid})) AS cos_sim "
+                    f"FROM embeddings WHERE vec_id <> {qid} "
+                    f"ORDER BY cos_sim DESC, vec_id LIMIT {k}"
+                ),
+                branch="docs_similar_to",
+                tables=("embeddings",),
+                operator="similarity_topk",
+                operator_args=(qid, k),
+            )
+        if has("duplicate", "dedup") and has(
+            "keep", "best", "survivor", "representative", "canonical"
+        ):
+            return StarPlan(
+                sql=_REG["dedup_cluster_representatives"].oracle,
+                branch="docs_dedup_survivors",
+                tables=("documents",),
+                operator="dedup_cluster_representatives",
+            )
+        # curation-surface routes next: their questions often also carry
         # "per language" / "how many", which the generic rules below would
         # otherwise claim
         if has("quality"):

@@ -125,6 +125,21 @@ DOC_EVENT_CASES = [
         "What is the average document length in tokens per source?",
         "docs_avg_tokens_by_source",
     ),
+    # operator-routed dedup/similarity routes (r09 verdict item 7): the
+    # near-dup / similar-to / keep-best questions must win over the exact-
+    # duplicate-count and generic rules that also match their phrasing
+    ("Find near-duplicate document pairs", "docs_near_duplicates"),
+    ("show documents that are near duplicates of each other", "docs_near_duplicates"),
+    ("Show the 10 documents most similar to document 0", "docs_similar_to"),
+    ("which 5 docs are closest to document 3", "docs_similar_to"),
+    (
+        "Deduplicate the documents and keep the best copy of each duplicate cluster",
+        "docs_dedup_survivors",
+    ),
+    (
+        "pick a canonical representative document per duplicate cluster",
+        "docs_dedup_survivors",
+    ),
 ]
 
 
@@ -132,3 +147,70 @@ DOC_EVENT_CASES = [
 def test_document_event_branches(question, branch):
     p = plan_star(question)
     assert p is not None and p.branch == branch, f"{question!r} -> {p and p.branch}"
+
+
+def test_similar_to_route_parses_probe_id_and_k():
+    p = plan_star("which 5 docs are closest to document 3")
+    assert p.operator == "similarity_topk" and p.operator_args == (3, 5)
+    assert "vec_id = 3" in p.sql and "LIMIT 5" in p.sql
+    # default k when only the probe id is numeric
+    p = plan_star("documents similar to document 7")
+    assert p.operator_args == (7, 10)
+
+
+def test_operator_routes_emit_registered_oracle_sql():
+    """The near-dup / survivors routes must emit the operator's REGISTERED
+    oracle string verbatim — planner and driver oracle can never drift."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators import (  # noqa: F401
+        dedup,
+    )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    assert (
+        plan_star("find near-duplicate documents").sql
+        == REGISTRY["dedup_minhash_lsh"].oracle
+    )
+    assert (
+        plan_star("dedup the documents keeping the best copy").sql
+        == REGISTRY["dedup_cluster_representatives"].oracle
+    )
+
+
+def test_engine_operator_route_end_to_end(spark):
+    """An operator-routed NL question must execute the library operator
+    through the engine (no SQL executes on Spark; the reference SQL is
+    reported for transparency) and return the serialized result."""
+    register_views(spark, SF_SMOKE)
+    eng = DataFabricEngine(
+        spark,
+        tables=set(STAR_TABLES) | {"documents", "embeddings"},
+        default_table="customer",
+        use_star_rules=True,
+    )
+    out = eng.process("Show the 3 documents most similar to document 0")
+    assert out["success"] is True, out.get("error")
+    assert out["columns"] == ["vec_id", "label", "cos_sim"]
+    assert out["row_count"] == 3
+    assert "LIST_COSINE_SIMILARITY" in out["sql_query"]  # reference SQL
+
+    out = eng.process("Find near-duplicate document pairs")
+    assert out["success"] is True, out.get("error")
+    assert out["columns"] == ["a_id", "b_id", "jaccard"]
+    assert out["row_count"] > 0
+
+
+def test_engine_operator_route_blocked_without_tables(spark):
+    """The allowlist gate applies to operator routes exactly as to SQL
+    star plans: without the documents table the near-dup question falls
+    through to the single-table cascade."""
+    register_views(spark, SF_SMOKE)
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_employees,
+    )
+
+    register_employees(spark, n=50)
+    eng = DataFabricEngine(spark, tables={"employees"}, use_star_rules=True)
+    out = eng.process("Find near-duplicate document pairs")
+    assert "FROM employees" in out["sql_query"]
