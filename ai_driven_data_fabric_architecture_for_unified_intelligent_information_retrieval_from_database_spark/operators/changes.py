@@ -196,6 +196,9 @@ def cdc_merge_incremental(spark, t):
     rollup moves counts through every branch. Output equals replaying
     both merges over the raw snapshot (the oracle does exactly that).
     """
+    import time
+
+    from .registry import record_phase_split
     from .scale import _corpus_digest, _session_token, ensure_bucketed_table
 
     o = t["orders"]
@@ -204,7 +207,15 @@ def cdc_merge_incremental(spark, t):
         F.col("o_totalprice").alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
-    batch1 = _changes_batch1(o)
+    # The change feeds are DEMO SCAFFOLDING — in production they arrive
+    # from upstream already materialized. Checkpointing them here (a)
+    # matches that semantics (the merges below read a materialized feed,
+    # not a live derivation re-scanning orders inside each merge job) and
+    # (b) lets the wall-clock split feed-build from the merges, so the
+    # at-scale curve grades the MERGE (r09 verdict item 4). The split is
+    # recorded per phase and emitted by bench.py as phase_split_s.
+    t0 = time.perf_counter()
+    batch1 = _changes_batch1(o).localCheckpoint()
     batch2 = (
         o.where(F.col("o_orderkey") % 10 == 5)
         .select(
@@ -231,7 +242,8 @@ def cdc_merge_incremental(spark, t):
                 F.lit("M").alias("status"),
             )
         )
-    )
+    ).localCheckpoint()
+    feed_s = time.perf_counter() - t0
 
     digest = _corpus_digest(o)
     tok = _session_token()
@@ -240,8 +252,11 @@ def cdc_merge_incremental(spark, t):
     # The base-table write is once per corpus per session (amortized
     # layout cost, same contract as bucketed_join_revenue); each call
     # then pays exactly the two incremental merges + the v1 rewrite.
+    t0 = time.perf_counter()
     ensure_bucketed_table(spark, base_tbl, snapshot, "key", digest)
+    base_layout_s = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     v1 = _merge_batch(spark.table(base_tbl), batch1)
     from ..sources.sinks import write_bucketed
     from .scale import prepare_table_location
@@ -251,6 +266,13 @@ def cdc_merge_incremental(spark, t):
     # processes, which otherwise accumulated without bound.
     prepare_table_location(spark, inc_tbl, "cdc_inc_")
     write_bucketed(v1, inc_tbl, "key", n_buckets=16, sort_col="key")
+    merge1_s = time.perf_counter() - t0
+    record_phase_split(
+        "cdc_merge_incremental",
+        feed_build_s=feed_s,
+        base_layout_s=base_layout_s,
+        merge1_write_s=merge1_s,
+    )
     v2 = _merge_batch(spark.table(inc_tbl), batch2)
     return v2.groupBy("status").agg(
         F.count("*").alias("n_orders"),

@@ -113,6 +113,24 @@ SAMPLE_PRIORITY: list[str] = [
 ]
 
 
+#: Per-entry wall-clock phase splits, written by operators whose timed
+#: window (bench.py TIMED_CONSTRUCTION) spans phases a grader should see
+#: separately — e.g. cdc_merge_incremental's synthetic feed build vs the
+#: merges themselves (r09 verdict item 4: at sf10/sf30 the cell's ratio
+#: was judged on a number that included demo scaffolding). Keyed by entry
+#: name; bench.py keeps the per-phase MIN across passes and emits it as
+#: ``phase_split_s`` so the curve artifact carries the split.
+PHASE_SPLITS: dict[str, dict[str, float]] = {}
+
+
+def record_phase_split(name: str, **phases: float) -> None:
+    """Record (min-keeping) named wall-clock phases for a benched entry."""
+    slot = PHASE_SPLITS.setdefault(name, {})
+    for k, v in phases.items():
+        v = round(v, 3)
+        slot[k] = min(slot[k], v) if k in slot else v
+
+
 def query(name: str, oracle: str | None, covers: str = ""):
     """Decorator: register ``fn(spark, tables) -> DataFrame`` under ``name``.
 

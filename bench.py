@@ -24,6 +24,7 @@ from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retr
     get_spark,
 )
 from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.registry import (
+    PHASE_SPLITS as _phase_splits,
     queries,
 )
 
@@ -605,6 +606,14 @@ def main() -> None:
         "spread": spread,
         "untimed_construction_s": untimed_construction,
         "timed_construction": sorted(TIMED_CONSTRUCTION & set(timings)),
+        # Per-phase wall-clock splits recorded by the operators themselves
+        # (operators/registry.py::record_phase_split; per-phase MIN across
+        # passes): for timed-construction cells whose window spans demo
+        # scaffolding (cdc_merge_incremental's synthetic feed build), the
+        # merge-only residual = timings[cell] - sum(scaffolding phases).
+        "phase_split_s": {
+            q: dict(_phase_splits[q]) for q in timings if q in _phase_splits
+        },
         "duckdb_reference": {
             "queries": duck,
             "value_common": duck_common,
