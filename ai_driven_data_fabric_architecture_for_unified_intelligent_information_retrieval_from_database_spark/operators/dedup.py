@@ -100,6 +100,20 @@ def dedup_normalized_groups(spark, t):
 
 JACCARD_THRESHOLD = 0.4
 
+#: Exact-Jaccard acceptance threshold for LSH candidates. Every true pair
+#: in the driver corpora sits at Jaccard >= 0.75 (measured at sf0.001/0.01/
+#: 0.1 — the synthetic near-dups are light edits of each other). In
+#: EXPECTATION a J=0.75 pair collides under 4x4 banding with p ~ 0.78
+#: (1-(1-0.75^4)^4) and a J=0.9 pair with p ~ 0.99; what makes the oracle
+#: an equality check rather than a bound is that the corpora and hash
+#: seeds are FIXED, so recall is a deterministic property gated per corpus
+#: by tests/test_dedup.py::test_minhash_recall_is_total. If a regenerated
+#: corpus ever plants a moderate-similarity pair the banding misses, that
+#: tripwire (and the driver compare) fail loudly by design — the row-count
+#: mismatch IS the recall report. (Defined up here because the
+#: components/representatives oracles below interpolate it.)
+MINHASH_VERIFY_THRESHOLD = 0.5
+
 #: Shared CTE chain producing the exact-Jaccard near-dup pair list
 #: (``jpairs``: a_id < b_id, n_common, jaccard >= threshold). Used verbatim
 #: by the pair-list oracle and as the edge source of the
@@ -189,10 +203,12 @@ def dedup_ngram_jaccard(spark, t):
     "dedup_components",
     oracle=f"""
         WITH RECURSIVE {_PAIR_CTES},
+        vp AS (SELECT a_id, b_id FROM jpairs
+               WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}),
         edges AS (
-            SELECT a_id AS a, b_id AS b FROM jpairs
+            SELECT a_id AS a, b_id AS b FROM vp
             UNION ALL
-            SELECT b_id, a_id FROM jpairs
+            SELECT b_id, a_id FROM vp
         ),
         nodes AS (SELECT DISTINCT a AS node FROM edges),
         reach(node, label) AS (
@@ -203,33 +219,40 @@ def dedup_ngram_jaccard(spark, t):
         SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
     """,
     covers="pipeline: near-dup CLUSTERING — connected components over the "
-    "verified pair graph (iterative min-label propagation)",
+    "LSH-verified pair graph (iterative min-label propagation)",
 )
 def dedup_components(spark, t):
-    """Duplicate clusters: connected components over the exact-Jaccard pair
-    graph, labeling every clustered document with the minimum doc_id
+    """Duplicate clusters: connected components over the VERIFIED near-dup
+    pair graph, labeling every clustered document with the minimum doc_id
     reachable from it (the canonical representative a keep-one dedup stage
     retains).
 
+    The edge list is the LSH SCALE PATH's verified pairs
+    (:func:`lsh_verified_pairs` — banded candidates, exact-Jaccard verify
+    at MINHASH_VERIFY_THRESHOLD), not the quadratic all-pairs join: this
+    is the composition a production pipeline runs, subquadratic end to
+    end (r10 — previously the cell paid the inverted-index self-join the
+    LSH path exists to avoid). The ORACLE stays the quadratic ground
+    truth (recursive CTE over ALL exact-Jaccard pairs at the same
+    threshold), so the dedup_minhash_lsh total-recall tripwire transfers:
+    a pair the banding missed would change the component fixpoint and
+    fail the hash compare loudly.
+
     Iterative min-label propagation, the distributed-systems classic: each
     round every node takes the min of its own label and its neighbors';
-    convergence (no label changed) is checked with a driver-side COUNT,
-    which is a scalar per round, not a collect of data rows. Lineage is cut
-    with eager ``localCheckpoint`` each round — without it round k would
-    re-execute the full shingle self-join k times and the plan would grow
-    unboundedly (the standard Spark idiom for iterative algorithms; a
-    cluster deployment would use ``checkpoint`` to HDFS instead for fault
-    tolerance). Rounds needed = component diameter; near-dup clusters are
-    dense (near-cliques around a template), so this converges in 2-3
-    rounds on text corpora. A hard cap guards adversarial chain graphs —
-    for those, the log-round large-star/small-star variant (Kiveris et
-    al., "Connected Components in MapReduce and Beyond") is the drop-in
-    upgrade.
-
-    The DuckDB oracle computes the same fixpoint as a recursive CTE over
-    the identical ``jpairs`` edge list.
+    the change count is observed during the round's checkpoint job (see
+    min_label_components). Lineage is cut with eager ``localCheckpoint``
+    each round — without it round k would re-execute the full pair build
+    k times and the plan would grow unboundedly (the standard Spark idiom
+    for iterative algorithms; a cluster deployment would use
+    ``checkpoint`` to HDFS instead for fault tolerance). Rounds needed =
+    component diameter; near-dup clusters are dense (near-cliques around
+    a template), so this converges in 2-3 rounds on text corpora. A hard
+    cap guards adversarial chain graphs — for those, the log-round
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") is the drop-in upgrade.
     """
-    pairs = _jaccard_pair_df(t).select("a_id", "b_id")
+    pairs = lsh_verified_pairs(t).select("a_id", "b_id")
     return min_label_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
@@ -239,10 +262,12 @@ def dedup_components(spark, t):
     "dedup_cluster_representatives",
     oracle=f"""
         WITH RECURSIVE {_PAIR_CTES},
+        vp AS (SELECT a_id, b_id FROM jpairs
+               WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}),
         edges AS (
-            SELECT a_id AS a, b_id AS b FROM jpairs
+            SELECT a_id AS a, b_id AS b FROM vp
             UNION ALL
-            SELECT b_id, a_id FROM jpairs
+            SELECT b_id, a_id FROM vp
         ),
         nodes AS (SELECT DISTINCT a AS node FROM edges),
         reach(node, label) AS (
@@ -279,17 +304,19 @@ def dedup_cluster_representatives(spark, t):
     template exists in several mutated copies, retain the longest /
     least-noisy one, not the one with the smallest id.
 
-    Composition entry: connected components over the verified near-dup
-    pair graph (`dedup_components`' min-label propagation) joined with the
-    shared quality score (`text_analysis.quality_score_col`), then one
+    Composition entry: connected components over the LSH-VERIFIED near-dup
+    pair graph (`lsh_verified_pairs` -> `dedup_components`' min-label
+    propagation — the subquadratic scale path end to end, r10) joined with
+    the shared quality score (`text_analysis.quality_score_col`), then one
     row_number window per component. The window partitions by component
     label — cluster-sized groups, never corpus-wide. Like the other
     exact-Jaccard consumers, the ORACLE is quadratic by design (the
-    recursive-CTE ground truth) and the entry is excluded from the bench
-    past sf1; the Spark side scales (LSH candidates + bounded verify).
+    recursive-CTE ground truth at the same verify threshold, so banding
+    recall loss is a loud fixpoint mismatch) and the entry is excluded
+    from the bench past sf1.
     """
     comp = min_label_components(
-        _jaccard_pair_df(t).select("a_id", "b_id")
+        lsh_verified_pairs(t).select("a_id", "b_id")
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
     q = t["documents"].select(
         "doc_id", quality_score_col().alias("quality")
@@ -455,18 +482,8 @@ def minhash_signatures(t, with_sets: bool = False) -> DataFrame:
     return hashed_shingles(t).groupBy("doc_id").agg(*aggs)
 
 
-#: Exact-Jaccard acceptance threshold for LSH candidates. Every true pair
-#: in the driver corpora sits at Jaccard >= 0.75 (measured at sf0.001/0.01/
-#: 0.1 — the synthetic near-dups are light edits of each other). In
-#: EXPECTATION a J=0.75 pair collides under 4x4 banding with p ~ 0.78
-#: (1-(1-0.75^4)^4) and a J=0.9 pair with p ~ 0.99; what makes the oracle
-#: an equality check rather than a bound is that the corpora and hash
-#: seeds are FIXED, so recall is a deterministic property gated per corpus
-#: by tests/test_dedup.py::test_minhash_recall_is_total. If a regenerated
-#: corpus ever plants a moderate-similarity pair the banding misses, that
-#: tripwire (and the driver compare) fail loudly by design — the row-count
-#: mismatch IS the recall report.
-MINHASH_VERIFY_THRESHOLD = 0.5
+# (MINHASH_VERIFY_THRESHOLD is defined at the top of the module, next to
+# JACCARD_THRESHOLD — the components/representatives oracles interpolate it.)
 
 # The registered oracle reuses _PAIR_CTES, whose jpairs CTE is pre-filtered
 # at JACCARD_THRESHOLD — tightening to the verify threshold on top is only
