@@ -34,16 +34,19 @@ def events_stream(
     single parquet file, so stage a symlink directory for it (a real
     deployment points this at the landing directory / Kafka instead).
     File-source offsets are tracked by path, so checkpointed incremental
-    consumers must pass a FIXED ``stage_dir`` across calls — a fresh temp
-    dir makes every drain see "new" files and reprocess history.
+    consumers must pass a FIXED ``stage_dir`` across calls — a fresh
+    scratch dir makes every drain see "new" files and reprocess history.
+    The default scratch dir lives under the warehouse root (the
+    executor-shared filesystem), never driver-local /tmp — r09 verdict
+    item 2: executors must be able to open the staged paths.
     """
-    import tempfile
+    from ..operators.scale import warehouse_scratch_dir
 
     register_views(spark, sf_dir)  # pins session confs (UTC, nanosAsLong)
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src).schema
     if stage_dir is None:
-        stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+        stage_dir = warehouse_scratch_dir(spark, "evstage")
     else:
         os.makedirs(stage_dir, exist_ok=True)
     link = os.path.join(stage_dir, "events.parquet")
