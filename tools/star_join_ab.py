@@ -33,39 +33,9 @@ as untimed construction):
                   bucketed layout)
   bk_scanfloor    orders scan + micro-unit totalprice reduce
 
-MEASURED 2026-08-15 (interleaved min-of-3, one session per scale,
-rechunked + page-cache-warmed, idle host):
-
-  sf10 (1-min load 0.2 at start):
-    js_v0_shipped 2.994  js_v1_midforce 3.507  js_v2_plain 5.577
-    js_scanfloor 0.837   duckdb join_star 1.185
-    bk_v0_shipped 0.673  bk_v1_b32 0.465  bk_v2_broadcast 1.258
-    bk_v3_shuffle 2.899  bk_scanfloor 0.170  duckdb bucketed 0.408
-
-  sf30:
-    js_v0_shipped 9.526  js_v1_midforce 11.804  js_v2_plain 17.468
-    js_scanfloor 2.684   duckdb join_star 4.278
-    bk_v0_shipped 2.212  bk_v1_b32 1.479  bk_v2_broadcast 4.493
-    bk_v3_shuffle 9.591  bk_scanfloor 0.579   duckdb bucketed 1.301
-
-VERDICTS:
-- join_star_flagship: the shipped staged form WINS every interleaved
-  pass at both scales — the forced-broadcast middle form loses ~17-24%
-  (customer's 3-4.5M-row single-threaded build) and the plain tree
-  loses ~2x (lineitem-grain exchange). Ratio vs DuckDB ~2.2-2.5x with
-  the scan floor at ~0.6x of DuckDB's WHOLE query: the residual is the
-  q3/q5-audited executor-model family (DuckDB fuses scan+probe in one
-  morsel pass; Spark pays a separate exchange+SMJ stage). Rejection
-  audit recorded; plan is optimal-for-engine among candidates.
-- bucketed_join_revenue: REAL FINDING — 16 buckets caps the exchange-
-  free join at 16 tasks on a 32-thread executor; 32 buckets is ~31-33%
-  faster at both scales (sf30 2.21 -> 1.48 s, 1.14x vs DuckDB's hash
-  join). The entry now sizes its bucket count to the session's
-  default parallelism (min 16, rounded to a power of two, capped 64)
-  — layout choices must scale with the executor, exactly like
-  shuffle.partitions. Both bucketed forms beat the broadcast (3x) and
-  raw-shuffle (4-6x) counterfactuals, which is the point of the
-  layout; vs DuckDB the 32-bucket form sits at ~1.1x = parity.
+MEASURED: numbers + verdicts are appended below by the r10 audit runs
+(sf10 and sf30, one session each) — do not trust this tool's hypotheses
+until that block exists.
 
 Usage: python tools/star_join_ab.py [sf_dir] [passes]
 """
