@@ -35,6 +35,18 @@ Arrow round-trip costs more than the hash agg it replaces). The struct
 form needs no partkey-width guard, so the production primitive
 (graph.copurchase_pair_counts) is JVM-only and scale-safe.
 
+Round-10 addendum — the r09 verdict flagged basket's at-scale cells
+(25.0 s/4.2x sf10, 83.7 s/2.8x sf30 in the r09 curve legs) as lacking a
+CURRENT at-scale rejection audit. Re-run 2026-08-15 at sf10 (interleaved
+min-of-3, one session, idle host, same config): v1_packed_vec 18.674,
+v2_packed_gb 15.686, v3_struct 14.973, **v4_shared_baskets 14.653**
+(shipped, wins again), duckdb 5.993 — ratio 2.45x. The r09 leg's 25 s
+was the documented object-agg host-drift family (same code measured 15.6
+in the r08 leg and 14.7 here); v4 remains the rejection-audited floor:
+every candidate loses, and the residual vs DuckDB is the collect_set
+basket build (ObjectHashAggregate) that DuckDB's list() vectorizes —
+engine-model, not plan. VERDICT unchanged: v4 ships.
+
 Round-9 addendum — the apparent sf0.1 driver regression (r07 0.159 s on
 v0 -> r08 1.01 s on v4) was re-adjudicated under the EXACT bench
 small-scale config (AQE off, shuffle.partitions=8, 10 MB broadcast
