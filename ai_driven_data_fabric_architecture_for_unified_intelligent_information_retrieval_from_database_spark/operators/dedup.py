@@ -259,6 +259,47 @@ def dedup_components(spark, t):
 
 
 @query(
+    "dedup_components_star",
+    oracle=f"""
+        WITH RECURSIVE {_PAIR_CTES},
+        vp AS (SELECT a_id, b_id FROM jpairs
+               WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}),
+        edges AS (
+            SELECT a_id AS a, b_id AS b FROM vp
+            UNION ALL
+            SELECT b_id, a_id FROM vp
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+        )
+        SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+    """,
+    covers="pipeline: near-dup clustering, LOG-ROUND variant — "
+    "large-star/small-star contraction (diameter-proof connected "
+    "components for chain-shaped graphs)",
+)
+def dedup_components_star(spark, t):
+    """Duplicate clusters by the ALTERNATE components algorithm:
+    large-star/small-star contraction (:func:`star_components`) over the
+    same LSH-verified pair graph as :func:`dedup_components`. Same
+    fixpoint, same oracle — what differs is the round complexity:
+    min-label propagation needs component-DIAMETER rounds (fine for
+    near-dup clusters, which are near-cliques), star contraction needs
+    O(log n) on ANY shape, including the adversarial chain graphs the
+    frontier algorithm's round cap rejects (tests/test_dedup.py pins a
+    64-node chain: star converges, min-label's cap raises). A production
+    pipeline routes by what it knows about the graph; both compositions
+    are registered so the driver differentially verifies each."""
+    pairs = lsh_verified_pairs(t).select("a_id", "b_id")
+    return star_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+@query(
     "dedup_cluster_representatives",
     oracle=f"""
         WITH RECURSIVE {_PAIR_CTES},
@@ -404,9 +445,125 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         raise RuntimeError(
             "min_label_components: did not converge in "
             f"{max_rounds} rounds — pathological chain graph; switch to "
-            "large-star/small-star"
+            "star_components (large-star/small-star, log-round)"
         )
     return labels
+
+
+def star_components(pairs: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the LOG-ROUND algorithm for graphs whose
+    diameter defeats per-hop label propagation. Returns (node, label),
+    label = component minimum, identical to
+    :func:`min_label_components`'s fixpoint.
+
+    Each round rewires edges toward component minima:
+
+    - **large-star**: per node u with neighborhood N(u), every STRICTLY
+      LARGER neighbor v > u re-attaches to m = min(N(u) + {u});
+    - **small-star**: every neighbor v < u (plus u itself) re-attaches
+      to m.
+
+    Both operations preserve connectivity (every rewired node stays
+    connected to u through m) and never create a node pointing above
+    itself for long — the edge set contracts toward stars centered at
+    component minima in O(log n) rounds on ANY graph, including the
+    path/chain graphs where min-label propagation needs diameter rounds
+    (pinned by tests/test_dedup.py: a 64-node chain converges here in a
+    handful of rounds while the frontier algorithm's 50-round cap
+    raises). Per round: one neighborhood aggregate + one join per star
+    operation, all key-hash exchanges — no broadcast, no driver data.
+
+    Convergence detection: the canonical edge set's (count, two
+    independent 31-bit-folded xxhash64 checksum sums) are OBSERVED
+    during each round's checkpoint materialization; two identical
+    consecutive signatures terminate. A collision would need two
+    DIFFERENT edge sets of equal size agreeing on both independent
+    folded sums (~2^-62) — far below any physical error rate, and the
+    differential oracle would still catch a wrong fixpoint loudly.
+    """
+    import uuid
+
+    from pyspark.sql import Observation
+
+    def canon(e: DataFrame) -> DataFrame:
+        # canonical undirected form (lo, hi), deduped — the contraction's
+        # working set; self-loops drop
+        lo, hi = F.least("u", "v"), F.greatest("u", "v")
+        return (
+            e.where(F.col("u") != F.col("v"))
+            .select(lo.alias("u"), hi.alias("v"))
+            .distinct()
+        )
+
+    def star_round(e: DataFrame, large: bool) -> DataFrame:
+        und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("mv"), F.col("u"))
+        j = und.join(mins, "u")
+        if large:
+            out = j.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), m.alias("v")
+            )
+        else:
+            out = j.where(F.col("v") < F.col("u")).select(
+                F.col("v").alias("u"), m.alias("v")
+            ).unionAll(mins.select("u", m.alias("v")))
+        return canon(out)
+
+    nodes = (
+        pairs.select(F.col("a_id").alias("node"))
+        .unionAll(pairs.select(F.col("b_id").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = canon(
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    ).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_rounds):
+        obs = Observation(f"star_sig_{uuid.uuid4().hex[:8]}")
+        e = (
+            star_round(star_round(e, large=True), large=False)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # 31-bit folds: a raw 64-bit hash SUM overflows the ANSI
+                # long past a few rows; pmod-folded sums stay exact to
+                # 2^32 edges and the pair of independent 31-bit sums plus
+                # the count still bounds a set collision near 2^-62
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))).alias("h1"),
+                F.sum(
+                    F.pmod(F.xxhash64("v", "u", F.lit(7)), F.lit(1 << 31))
+                ).alias("h2"),
+            )
+            .localCheckpoint()
+        )
+        got = obs.get
+        sig = (got["n"], got["h1"], got["h2"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star_components: did not converge in {max_rounds} rounds"
+        )
+    # At the fixpoint E is a union of stars: every non-center node carries
+    # exactly one edge (node -> center). Centers label themselves; so do
+    # isolated nodes (possible only if the input had self-pairs). The
+    # min-agg is belt-and-braces (a stable non-star fixpoint would violate
+    # the theorem; if one ever existed, min still picks the least center
+    # and the differential oracle adjudicates).
+    member = (
+        e.select(F.col("v").alias("node"), F.col("u").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    return (
+        nodes.join(member, "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,7 @@ SAMPLE_PRIORITY: list[str] = [
     "streaming_cdc_upsert",
     "streaming_daily_rollup",
     "dedup_components",
+    "dedup_components_star",
     "dedup_cluster_representatives",
     "nl_docs_near_duplicates",
     "nl_docs_similar_embeddings",

@@ -127,16 +127,18 @@ def test_min_label_components_round_cap_raises(spark):
 
 def test_dedup_components_labels_match_pair_graph(spark):
     """Every clustered doc gets the min doc_id of its cluster, and the
-    clustered doc set equals the docs appearing in >=1 verified pair."""
+    clustered doc set equals the docs appearing in >=1 verified pair —
+    over the LSH-verified pair graph the entry actually composes on
+    (r10: the quadratic build was replaced by the scale path)."""
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
-        _jaccard_pair_df,
+        lsh_verified_pairs,
     )
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
         register_views,
     )
 
     t = register_views(spark, SF_ORACLE)
-    pairs = [(r.a_id, r.b_id) for r in _jaccard_pair_df(t).collect()]
+    pairs = [(r.a_id, r.b_id) for r in lsh_verified_pairs(t).collect()]
     comp = {r.doc_id: r.component for r in
             queries()["dedup_components"](spark, SF_ORACLE).collect()}
     in_pairs = {d for p in pairs for d in p}
@@ -144,6 +146,61 @@ def test_dedup_components_labels_match_pair_graph(spark):
     for a, b in pairs:
         assert comp[a] == comp[b], f"pair ({a},{b}) split across components"
     assert all(lbl <= d for d, lbl in comp.items())
+
+
+def test_star_components_matches_min_label_on_crafted_graphs(spark):
+    """Same fixpoint as min-label propagation on the crafted mix (path,
+    triangle, isolated pair) and on a branching tree."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
+        min_label_components,
+        star_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21),
+         (30, 31), (30, 32), (31, 33), (32, 34)],
+        "a_id long, b_id long",
+    )
+    want = {r.node: r.label for r in min_label_components(edges).collect()}
+    got = {r.node: r.label for r in star_components(edges).collect()}
+    assert got == want
+
+
+def test_star_components_handles_long_chain_where_min_label_cannot(spark):
+    """The log-round property, demonstrated: a 64-node path needs 63
+    propagation rounds (min-label's 50-round cap raises), while the
+    large-star/small-star contraction converges well inside its own
+    cap and labels the whole chain with node 0."""
+    import pytest as _pytest
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.dedup import (
+        min_label_components,
+        star_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a_id long, b_id long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(chain)
+    got = {r.node: r.label for r in star_components(chain, max_rounds=12).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_dedup_components_star_equals_frontier_entry(spark):
+    """Both registered components entries must emit the identical
+    (doc_id, component) relation on the oracle corpus."""
+    a = sorted(
+        tuple(r)
+        for r in queries()["dedup_components"](spark, SF_ORACLE).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in queries()["dedup_components_star"](spark, SF_ORACLE).collect()
+    )
+    assert a and a == b
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
