@@ -334,7 +334,8 @@ def streaming_sliding_halfhour(spark, sf_dir):
 )
 def streaming_cdc_upsert(spark, sf_dir):
     """CDC-stream-to-table ingest, end to end: the events corpus replays
-    as FOUR one-file micro-batches (a change stream keyed on user_id),
+    as FOUR eight-file micro-batches (a change stream keyed on user_id,
+    each batch's delta scan 8-way parallel),
     and each micro-batch MERGEs into the keyed snapshot inside
     foreachBatch — batch-latest rows upsert, existing rows survive, the
     per-key event counter accumulates. The correctness gate reads the
@@ -373,11 +374,15 @@ def streaming_cdc_upsert(spark, sf_dir):
     stage = _cached_layout(
         warehouse_scratch_root(spark, "stgcdc"),
         _corpus_digest(raw),
-        "events_4part",
-        lambda p: raw.repartition(4).write.mode("overwrite").parquet(p),
+        "events_32part",
+        lambda p: raw.repartition(32).write.mode("overwrite").parquet(p),
     )
 
-    ev = sw.events_stream_from_dir(spark, sf_dir, stage, max_files_per_trigger=1)
+    # 4 micro-batches of 8 files each: the batch COUNT stays the multi-
+    # batch replay the entry demonstrates, while each batch's scan+agg
+    # runs 8-way parallel (a 1-file batch is a single scan task — the
+    # r10 profile found the per-batch delta aggregation serialized on it).
+    ev = sw.events_stream_from_dir(spark, sf_dir, stage, max_files_per_trigger=8)
     # State versions are per-invocation scratch: the final version must
     # outlive this function (the returned DataFrame reads it lazily), so
     # the whole scratch root is removed only at interpreter exit.
@@ -577,17 +582,25 @@ def overwrite_touched_partitions(ss, table: str, merged: DataFrame) -> None:
 
 
 def cdc_upsert_pruned_drain(
-    spark, sf_dir: str, stage: str, table: str, expect_batches: int | None = None
+    spark,
+    sf_dir: str,
+    stage: str,
+    table: str,
+    expect_batches: int | None = None,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """Drain a staged change feed through the partition-pruned steady-state
-    upsert into ``table`` — shared by the registered entry (4-part cached
-    stage) and the shuffled-replay invariance test (8-part shuffled
-    stage), so the tested drain IS the shipped one. Returns the final
-    snapshot projected to the oracle's columns. ``expect_batches`` guards
-    against the drain silently collapsing into fewer micro-batches than
-    the replay intends (which would make a batching-invariance claim
-    vacuous)."""
-    ev = sw.events_stream_from_dir(spark, sf_dir, stage, max_files_per_trigger=1)
+    upsert into ``table`` — shared by the registered entry (32-part cached
+    stage, 8 files per micro-batch so each batch's delta scan+agg runs
+    8-way parallel) and the shuffled-replay invariance test (8-part
+    shuffled stage, 1 file per batch), so the tested drain IS the shipped
+    one. Returns the final snapshot projected to the oracle's columns.
+    ``expect_batches`` guards against the drain silently collapsing into
+    fewer micro-batches than the replay intends (which would make a
+    batching-invariance claim vacuous)."""
+    ev = sw.events_stream_from_dir(
+        spark, sf_dir, stage, max_files_per_trigger=files_per_trigger
+    )
     state = {"init": False}
 
     def _merge(batch_df, batch_id):
@@ -694,19 +707,29 @@ def streaming_cdc_upsert_bucketed(spark, sf_dir):
     stage = _cached_layout(
         warehouse_scratch_root(spark, "stgcdc"),
         _corpus_digest(raw),
-        "events_4part",
-        lambda p: raw.repartition(4).write.mode("overwrite").parquet(p),
+        "events_32part",
+        lambda p: raw.repartition(32).write.mode("overwrite").parquet(p),
     )
     table = f"cdcsb_{_corpus_digest(raw)}_{_session_token()}"
-    return cdc_upsert_pruned_drain(spark, sf_dir, stage, table)
+    # 32 staged files at 8 per trigger = the same 4-micro-batch replay,
+    # with each batch's delta scan+agg 8-way parallel (the r10 profile
+    # found a 1-file batch serializes the whole delta aggregation on a
+    # single scan task).
+    return cdc_upsert_pruned_drain(
+        spark, sf_dir, stage, table, files_per_trigger=8
+    )
 
 
-def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
+def dedup_stream_drain(
+    spark, stage: str, schema, query_name: str, files_per_trigger: int = 1
+) -> DataFrame:
     """The streaming near-dup ingest, parameterized on the staged feed
-    directory — shared by the registered entry (4-part cached layout) and
-    the shuffled-replay invariance test (8-part shuffled layout), so the
-    tested drain IS the shipped one. See streaming_dedup_minhash for the
-    semantics and scale notes. Returns the accumulated verified pairs."""
+    directory — shared by the registered entry (32-part cached layout, 8
+    files per micro-batch: 4 batches with 8-way-parallel shingling) and
+    the shuffled-replay invariance test (8-part shuffled layout, 1 file
+    per batch), so the tested drain IS the shipped one. See
+    streaming_dedup_minhash for the semantics and scale notes. Returns
+    the accumulated verified pairs."""
     import os
 
     from .dedup import MINHASH_VERIFY_THRESHOLD, _band_buckets, minhash_signatures
@@ -714,7 +737,7 @@ def dedup_stream_drain(spark, stage: str, schema, query_name: str) -> DataFrame:
 
     docs = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
         .parquet(stage)
     )
     # Band/signature/pair state lives under the warehouse scratch root —
@@ -865,7 +888,7 @@ def _register_streaming_dedup() -> None:
     )
     def streaming_dedup_minhash(spark, sf_dir):
         """Always-on near-dup dedup, driven by the real streaming engine:
-        the documents corpus replays as FOUR one-file micro-batches and
+        the documents corpus replays as FOUR eight-file micro-batches and
         each batch (a) band-hashes ONLY its own documents with the exact
         kernel the batch entries use (minhash_signatures /
         _band_buckets — shared code, so stream and batch can never
@@ -906,10 +929,16 @@ def _register_streaming_dedup() -> None:
         stage = _cached_layout(
             warehouse_scratch_root(spark, "stgdds"),
             _corpus_digest(raw),
-            "documents_4part",
-            lambda p: raw.repartition(4).write.mode("overwrite").parquet(p),
+            "documents_32part",
+            lambda p: raw.repartition(32).write.mode("overwrite").parquet(p),
         )
-        return dedup_stream_drain(spark, stage, raw.schema, "reg_stream_dedup_minhash")
+        # 32 staged files at 8 per trigger = the same 4-micro-batch
+        # replay with 8-way-parallel per-batch shingling/verify (a 1-file
+        # batch serialized each batch's work on one scan task).
+        return dedup_stream_drain(
+            spark, stage, raw.schema, "reg_stream_dedup_minhash",
+            files_per_trigger=8,
+        )
 
 
 _register_streaming_dedup()
