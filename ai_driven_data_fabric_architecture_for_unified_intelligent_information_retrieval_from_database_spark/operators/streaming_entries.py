@@ -365,7 +365,7 @@ def streaming_cdc_upsert(spark, sf_dir):
 
     register_views(spark, sf_dir)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # The 4-part staged replay is a LAYOUT of the corpus: written once per
+    # The staged replay is a LAYOUT of the corpus: written once per
     # corpus through the shared digest-keyed cache (the r08 review found
     # a fresh mkdtemp full-corpus rewrite leaking per invocation — the
     # same leftover-dirs class the warehouse exit cleanup fixed). The
