@@ -46,71 +46,74 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: regardless).  Round-window history lives in README.md ("Correctness window
 #: rotation").
 #:
-#: Round 10 window (r09 verdict task 5: front the r06 tail — the oldest
-#: cohort after the r09 rotation — so no entry's latest driver check is
-#: older than r07). Composition:
-#: 1. everything round 10 ADDED or operator-touched — the
-#:    partition-pruned streaming CDC upsert rewrite (same oracle, new
-#:    merge/commit path), the streaming dedup state rework (in-session
-#:    probe + single state append), the entries riding
-#:    min_label_components' observed-convergence change, the
-#:    warehouse-scratch path moves (streaming_cdc_upsert,
-#:    streaming_daily_rollup), and the new nl_* dedup/similarity routes;
-#: 2. all 39 entries last driver-checked in r06 — after this window
-#:    every entry's latest check is r07 or newer.
+#: Round 11 window (r10 verdict task 7: front the r07 cohort — the
+#: oldest after the r10 rotation — so no entry's latest driver check is
+#: older than r08). Composition:
+#: 1. round-11 operator-touched entries — the streaming dedup drain
+#:    (dead signature append removed), the CDC upsert pair (src_batch
+#:    exactly-once commit guard), and cdc_merge_apply (phase split) plus
+#:    the bucketed-table writers riding the prepare_table_location
+#:    pid-guard, most of which are already in cohort 2;
+#: 2. all 48 entries last driver-checked in r07, 37 substantial shapes
+#:    first and the 11 single-rule nl_* routes last, so if the driver's
+#:    window cuts at exactly 50 the only entries left at r07 are
+#:    trivial NL routes re-verified locally every run.
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # --- round-10 new / operator-touched ---
-    "streaming_cdc_upsert_bucketed",
+    # --- round-11 operator-touched ---
     "streaming_dedup_minhash",
+    "streaming_cdc_upsert_bucketed",
     "streaming_cdc_upsert",
-    "streaming_daily_rollup",
-    "dedup_components",
-    "dedup_components_star",
-    "dedup_cluster_representatives",
-    "nl_docs_near_duplicates",
-    "nl_docs_similar_embeddings",
-    "nl_docs_dedup_survivors",
-    # --- last driver-checked r06 (the whole tail) ---
-    "agg_count_distinct",
-    "agg_count_star",
-    "agg_distinct",
-    "agg_filtered_count",
-    "agg_group_avg",
-    "agg_min_max_avg",
-    "case_when_bucketing",
-    "cdc_scd2_intervals",
-    "dedup_minhash_lsh",
-    "events_markov_transitions",
-    "filter_between",
-    "filter_date_range",
-    "filter_disjunction",
-    "filter_ilike_lower",
-    "filter_ilike_operator",
-    "filter_not_null_group_count",
-    "filter_threshold_topk",
-    "filter_year_extract",
-    "join_anti",
-    "join_inner_filtered",
-    "join_left_agg",
-    "join_semi",
-    "project_computed_alias",
-    "sampling_pack_shards",
-    "sampling_temperature_mix",
-    "scalar_functions",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_multi_col_limit",
-    "text_decontaminate",
-    "text_pii_scrub",
-    "text_tfidf_top_terms",
-    "topk_global",
-    "window_lag_delta",
-    "window_range_interval_trailing",
-    "window_rank_per_group",
-    "window_running_sum",
-    "window_yoy_growth",
+    # --- last driver-checked r07 (substantial shapes) ---
+    "agg_percentiles",
+    "agg_variance_stddev",
+    "asof_join_event_signup",
+    "basket_lift_rules",
+    "basket_part_pairs",
+    "bucketed_join_revenue",
+    "cdc_merge_apply",
+    "cdc_merge_incremental",
+    "conditional_null_functions",
+    "date_functions",
+    "events_dedup_latest_state",
+    "events_json_extract",
+    "events_json_schema_parse",
+    "events_sessionize",
+    "events_sliding_window",
+    "join_full_outer",
+    "join_star_flagship",
+    "layout_zorder_box_read",
+    "multimodal_decode_ppm_real",
+    "pipeline_curation_funnel",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_ann",
+    "similarity_threshold_pairs",
+    "similarity_topk_per_query",
+    "source_schema_evolution",
+    "streaming_dedup_watermark",
+    "streaming_static_enrichment",
+    "streaming_tumbling_hourly",
+    "string_functions",
+    "text_repetition_stats",
+    "tpch_q12_ship_priority_counts",
+    "tpch_q16_supplier_relationship_count",
+    "tpch_q20_dominant_part_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    # --- last driver-checked r07 (single-rule NL routes) ---
+    "nl_avg_order_value_by_segment",
+    "nl_count_suppliers",
+    "nl_docs_by_language",
+    "nl_events_by_hour",
+    "nl_events_by_type",
+    "nl_longest_documents",
+    "nl_most_active_users",
+    "nl_orders_by_year",
+    "nl_revenue_by_region",
+    "nl_revenue_by_segment",
+    "nl_top_customers",
 ]
 
 

