@@ -456,29 +456,50 @@ def _state_pb(key):
     return F.pmod(F.hash(key), F.lit(N_STATE_PARTS))
 
 
-def merge_profile_state(snapshot: DataFrame, batch_latest: DataFrame) -> DataFrame:
+def merge_profile_state(
+    snapshot: DataFrame, batch_latest: DataFrame, batch_id: int
+) -> DataFrame:
     """ONE steady-state MERGE pass of a keyed profile snapshot with one
     micro-batch's latest rows: struct-max recency, counts accumulate.
     Shared by the streaming_cdc_upsert_bucketed entry's foreachBatch and
     the plan gate in tests/test_plans.py, so the tested plan shape — a
     full-outer SortMergeJoin whose snapshot child is the bucketed scan
     with ZERO exchange between them — can never drift from the one each
-    batch actually executes."""
+    batch actually executes.
+
+    Exactly-once guard (r10 verdict item 5): every committed row is
+    stamped with the batch id that wrote it (``src_batch``). A snapshot
+    row already carrying THIS batch's stamp was committed by a crashed
+    earlier attempt at the same batch — the merge passes it through
+    verbatim instead of re-applying the delta, so a replayed batch
+    rewrites byte-identical values and the count can never double-apply.
+    The stamp travels IN the data files, so "is this partition already
+    committed?" is answered by the same scan the merge pays anyway —
+    atomic with the commit by construction, where a side-car manifest
+    file would reopen the window between data rename and marker write.
+    (``c.src_batch`` is NULL for a brand-new key, and NULL == batch_id
+    is NULL, so inserts fall through to the merge branch.)"""
+    already = F.col("c.src_batch") == F.lit(batch_id)
     merged = (
         snapshot.alias("c")
         .join(batch_latest.alias("b"), "user_id", "full_outer")
         .select(
             "user_id",
             F.when(
-                F.col("b.s").isNull() | (F.col("c.s") > F.col("b.s")),
+                already
+                | F.col("b.s").isNull()
+                | (F.col("c.s") > F.col("b.s")),
                 F.col("c.s"),
             )
             .otherwise(F.col("b.s"))
             .alias("s"),
-            (
+            F.when(already, F.col("c.n_events"))
+            .otherwise(
                 F.coalesce(F.col("c.n_events"), F.lit(0).cast("long"))
                 + F.coalesce(F.col("b.n_events"), F.lit(0).cast("long"))
-            ).alias("n_events"),
+            )
+            .alias("n_events"),
+            F.lit(batch_id).cast("long").alias("src_batch"),
         )
     )
     return merged
@@ -493,18 +514,26 @@ def _batch_latest(batch_df: DataFrame) -> DataFrame:
     )
 
 
-def create_profile_state(ss, table: str, batch_latest: DataFrame) -> None:
+def create_profile_state(
+    ss, table: str, batch_latest: DataFrame, batch_id: int = 0
+) -> None:
     """Materialize the FIRST batch as the profile snapshot table:
     partitioned by pb (hash(user_id) mod N_STATE_PARTS — the rewrite-
     pruning axis) and bucketed+sorted on user_id within each partition
     (the zero-exchange-join axis). Because pb and bucket id derive from
     the same hash, a delta-shuffled write task holds exactly one bucket
-    and therefore lands in at most N_STATE_PARTS files."""
+    and therefore lands in at most N_STATE_PARTS files. Rows carry the
+    writing batch's ``src_batch`` stamp (the exactly-once replay guard —
+    see :func:`merge_profile_state`); the create itself is a
+    whole-table overwrite, idempotent under replay by construction."""
     from .scale import prepare_table_location
 
     prepare_table_location(ss, table, "cdcsb_")
     (
-        batch_latest.withColumn("pb", _state_pb(F.col("user_id")))
+        batch_latest.withColumn(
+            "src_batch", F.lit(batch_id).cast("long")
+        )
+        .withColumn("pb", _state_pb(F.col("user_id")))
         .write.partitionBy("pb")
         .bucketBy(N_STATE_BUCKETS, "user_id")
         .sortBy("user_id")
@@ -514,7 +543,7 @@ def create_profile_state(ss, table: str, batch_latest: DataFrame) -> None:
     )
 
 
-def merge_upsert_pruned(ss, table: str, batch_latest: DataFrame):
+def merge_upsert_pruned(ss, table: str, batch_latest: DataFrame, batch_id: int):
     """Build ONE steady-state micro-batch MERGE plan against the
     partitioned+bucketed profile snapshot, reading ONLY the partitions
     the delta touches. Returns ``(merged, touched)`` — the caller commits
@@ -548,7 +577,7 @@ def merge_upsert_pruned(ss, table: str, batch_latest: DataFrame):
     # overwritten files resurface as FAILED_READ_FILE.
     ss.catalog.refreshTable(table)
     cur = ss.table(table).where(F.col("pb").isin(touched)).drop("pb")
-    merged = merge_profile_state(cur, delta.drop("pb"))
+    merged = merge_profile_state(cur, delta.drop("pb"), batch_id)
     return merged.withColumn("pb", _state_pb(F.col("user_id"))), touched
 
 
@@ -559,12 +588,18 @@ def overwrite_touched_partitions(ss, table: str, merged: DataFrame) -> None:
     untouched FILES, never opened. This is the file-skipping a lakehouse
     MERGE INTO performs, on vanilla parquet: per-partition staging +
     rename is the commit step, atomic per PARTITION, not per batch. A
-    crash mid-commit followed by an availableNow replay would re-apply
-    the delta's counts to the partitions that had already committed;
-    exactly-once across a multi-partition commit is precisely what a
-    transaction log (Delta/Iceberg) adds, and the demo accepts
-    at-least-once on that narrow failure window in exchange for running
-    on plain parquet."""
+    crash mid-commit leaves some touched partitions committed and some
+    not — and that window is CLOSED by the ``src_batch`` row stamp
+    :func:`merge_profile_state` writes: when the engine replays the
+    batch (same batch id — the checkpointed-source contract), rows the
+    crashed attempt already committed carry the replaying batch's own
+    stamp and pass through the merge unchanged, so the re-commit writes
+    value-identical files instead of double-applying the delta. Pinned
+    by the kill-between-two-partition-commits replay test in
+    tests/test_streaming.py. What a real transaction log still adds on
+    top is isolation for CONCURRENT readers (a reader between two
+    partition renames sees a mixed version) — single-writer exactly-once
+    needs only the stamp."""
     import uuid
 
     old = ss.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -574,7 +609,7 @@ def overwrite_touched_partitions(ss, table: str, merged: DataFrame) -> None:
         merged.createOrReplaceTempView(view)
         ss.sql(
             f"INSERT OVERWRITE TABLE {table} "
-            f"SELECT user_id, s, n_events, pb FROM {view}"
+            f"SELECT user_id, s, n_events, src_batch, pb FROM {view}"
         )
         ss.catalog.dropTempView(view)
     finally:
@@ -598,6 +633,10 @@ def cdc_upsert_pruned_drain(
     ``expect_batches`` guards against the drain silently collapsing into
     fewer micro-batches than the replay intends (which would make a
     batching-invariance claim vacuous)."""
+    import os
+
+    from .scale import warehouse_scratch_dir
+
     ev = sw.events_stream_from_dir(
         spark, sf_dir, stage, max_files_per_trigger=files_per_trigger
     )
@@ -607,14 +646,23 @@ def cdc_upsert_pruned_drain(
         ss = batch_df.sparkSession
         latest = _batch_latest(batch_df)
         if not state["init"]:
-            create_profile_state(ss, table, latest)
+            create_profile_state(ss, table, latest, batch_id=batch_id)
             state["init"] = True
         else:
-            merged, _ = merge_upsert_pruned(ss, table, latest)
+            merged, _ = merge_upsert_pruned(ss, table, latest, batch_id)
             overwrite_touched_partitions(ss, table, merged)
 
+    # The checkpointLocation makes batch ids STABLE across a driver
+    # restart — the contract the src_batch exactly-once guard keys on
+    # (a replayed partially-committed batch must re-arrive under the
+    # same id; without a checkpoint, a restarted availableNow query
+    # re-batches from 0 with possibly different boundaries).
     q = (
         ev.writeStream.foreachBatch(_merge)
+        .option(
+            "checkpointLocation",
+            os.path.join(warehouse_scratch_dir(spark, "ckcdc"), "ckpt"),
+        )
         .queryName(f"drain_{table}")
         .trigger(availableNow=True)
         .start()
@@ -690,9 +738,14 @@ def streaming_cdc_upsert_bucketed(spark, sf_dir):
     legitimate — same argument as the unbucketed entry, same
     shuffled-replay pin in tests/test_streaming.py. Commit is dynamic
     partition overwrite (per-partition staging + rename) on one table,
-    not a versioned table swap: vanilla parquet has no transaction log,
-    so the multi-partition commit is atomic per partition only — the
-    lakehouse-log caveat overwrite_touched_partitions documents."""
+    not a versioned table swap; the multi-partition commit is atomic per
+    partition, and the src_batch row stamp upgrades that to exactly-once
+    under single-writer replay — a batch killed between two partition
+    renames re-commits value-identical files instead of double-applying
+    (merge_profile_state documents the guard; the
+    kill-between-commits test in tests/test_streaming.py pins it).
+    What vanilla parquet still lacks vs a transaction log is reader
+    isolation during the rename window."""
     import os
 
     from ..sources.catalog import register_views

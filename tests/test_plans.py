@@ -538,7 +538,9 @@ def test_streaming_cdc_bucketed_batch_plan_no_snapshot_exchange_and_pruned_io(sp
         delta_ev = ev.where(_state_pb(F.col("user_id")) == target).withColumn(
             "event_id", F.col("event_id") + 10_000
         )
-        merged, touched = merge_upsert_pruned(spark, tbl, _batch_latest(delta_ev))
+        merged, touched = merge_upsert_pruned(
+            spark, tbl, _batch_latest(delta_ev), batch_id=1
+        )
         assert touched == [target]
 
         plan = merged._sc._jvm.PythonSQLUtils.explainString(
