@@ -100,14 +100,30 @@ def cdc_merge_apply(spark, t):
     broadcast left-outer plus a key-only anti for inserts — and REJECTED
     it: this entry's feed scales with the corpus, so at sf10 the split
     is 7.8 s vs 1.8 s for this form; a genuinely-small feed is the
-    cdc_merge_incremental bucketed target's job.)"""
+    cdc_merge_incremental bucketed target's job.)
+
+    Phase split (r10 verdict item 4, mirroring the incremental sibling):
+    the synthetic change feed is DEMO SCAFFOLDING — in production it
+    arrives already materialized — so it is checkpointed here and its
+    build time recorded as ``feed_build_s``; the cell's remaining wall
+    time is the MERGE itself (snapshot scan + full-outer + rollup),
+    which is what the at-scale curve should grade."""
+    import time
+
+    from .registry import record_phase_split
+
     o = t["orders"]
     snapshot = o.select(
         F.col("o_orderkey").alias("key"),
         F.col("o_totalprice").alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
-    merged = _merge_batch(snapshot, _changes_batch1(o))
+    t0 = time.perf_counter()
+    batch1 = _changes_batch1(o).localCheckpoint()
+    record_phase_split(
+        "cdc_merge_apply", feed_build_s=time.perf_counter() - t0
+    )
+    merged = _merge_batch(snapshot, batch1)
     return merged.groupBy("status").agg(
         F.count("*").alias("n_orders"),
         stable_sum("price").alias("total_price"),

@@ -819,7 +819,16 @@ def dedup_stream_drain(
     state = {"base_b": None, "base_hs": None}
 
     def _ingest(batch_df, batch_id):
-        sig = minhash_signatures(batch_df, with_sets=True).localCheckpoint()
+        # Lazy checkpoint: the signature frame materializes DURING the
+        # pairs-sink write job below (its only in-batch consumer), so a
+        # batch schedules ONE job instead of an eager-checkpoint job
+        # plus the write job — later batches' probes read the persisted
+        # blocks exactly as with an eager checkpoint (r11 A/B,
+        # tools/stream_dedup_floor.py: the per-batch cost here is fixed
+        # overhead, so every eliminated job shows up in the cell).
+        sig = minhash_signatures(batch_df, with_sets=True).localCheckpoint(
+            eager=False
+        )
         buckets = _band_buckets(sig)
         hs = sig.select("doc_id", "sz", "hset")
         new_b = buckets.select(
@@ -828,33 +837,38 @@ def dedup_stream_drain(
             "band_idx",
             "band_key",
         )
-        # co-arriving pairs: batch-internal self-join (a < b)
-        other_b = buckets.select(
+        # ONE candidate join per batch: the probe side unions the
+        # batch's own bands (is_base=false — co-arriving pairs keep the
+        # a<b half of the self-join) with the accumulated base bands
+        # (is_base=true — split pairs accept either id order, since the
+        # earlier document can carry the larger id). Previously these
+        # were two separate joins unioned.
+        batch_old = buckets.select(
             F.col("doc_id").alias("old_id"),
             F.col("sz").alias("o_sz"),
             "band_idx",
             "band_key",
+            F.lit(False).alias("is_base"),
         )
+        all_old = (
+            batch_old
+            if state["base_b"] is None
+            else batch_old.unionAll(state["base_b"])
+        )
+        old_hs = hs if state["base_hs"] is None else hs.unionAll(state["base_hs"])
         cand = (
-            new_b.join(other_b, ["band_idx", "band_key"])
-            .where(F.col("new_id") < F.col("old_id"))
+            new_b.join(all_old, ["band_idx", "band_key"])
+            .where(F.col("is_base") | (F.col("new_id") < F.col("old_id")))
             .select("new_id", "old_id", "n_sz", "o_sz")
         )
-        old_hs = hs
-        if state["base_b"] is not None:
-            base_b = state["base_b"].select(
-                F.col("doc_id").alias("old_id"),
-                F.col("sz").alias("o_sz"),
-                "band_idx",
-                "band_key",
-            )
-            cand = cand.unionAll(
-                new_b.join(base_b, ["band_idx", "band_key"]).select(
-                    "new_id", "old_id", "n_sz", "o_sz"
-                )
-            )
-            old_hs = hs.unionAll(state["base_hs"])
-        cand = cand.distinct()
+        # No candidate-level distinct: a pair matching in k bands is
+        # verified k times and the value-identical duplicate pair rows
+        # collapse in the read-side distinct below, so the OUTPUT SET is
+        # unchanged. At demo scale the dedup shuffle costs more than the
+        # duplicate intersects it saves; at 100 TB with high banding
+        # multiplicity (true near-dups share most bands) a
+        # `cand.distinct()` here is the knob that trades one shuffle
+        # for k-fold verify work — same result either way.
         j = cand.join(
             hs.select(F.col("doc_id").alias("new_id"), F.col("hset").alias("n_set")),
             "new_id",
@@ -884,9 +898,17 @@ def dedup_stream_drain(
         # (buckets/hs are narrow derivations of the checkpointed sig —
         # the union accumulates checkpointed frames, no lineage growth
         # beyond one node per batch).
+        base_marked = buckets.select(
+            F.col("doc_id").alias("old_id"),
+            F.col("sz").alias("o_sz"),
+            "band_idx",
+            "band_key",
+            F.lit(True).alias("is_base"),
+        )
         state["base_b"] = (
-            buckets if state["base_b"] is None
-            else state["base_b"].unionAll(buckets)
+            base_marked
+            if state["base_b"] is None
+            else state["base_b"].unionAll(base_marked)
         )
         state["base_hs"] = (
             hs if state["base_hs"] is None else state["base_hs"].unionAll(hs)
