@@ -72,6 +72,10 @@ def run_nl_operator(spark, tables, operator: str, args: tuple = ()):
         return dedup_cluster_representatives.raw(spark, tables)
     if operator == "similarity_topk":
         return bruteforce_topk(tables, *args)
+    if operator == "streaming_profile":
+        from .streaming_entries import profile_stream_from_df
+
+        return profile_stream_from_df(spark, tables["events"])
     raise KeyError(f"unknown NL operator route: {operator}")
 
 
@@ -94,6 +98,14 @@ _NL_OPERATOR_CASES = {
         "duplicate cluster",
         "docs_dedup_survivors",
     ),
+    # streaming/CDC surface (r10 verdict item 9): the live form of the
+    # per-user profile question routes to the partition-pruned streaming
+    # CDC upsert; the reference SQL is the whole-corpus argmax, a
+    # legitimate oracle because the merge is batch-boundary invariant.
+    "nl_users_live_profile": (
+        "Keep a live profile of every user up to date",
+        "users_live_profile",
+    ),
 }
 
 
@@ -105,11 +117,14 @@ def _register_operator_route(name: str, question: str, expected_branch: str) -> 
         and planned.operator is not None
     ), f"{name}: planner produced {planned and planned.branch}"
     op, args, sql = planned.operator, planned.operator_args, planned.sql
+    surface = (
+        "2.9 streaming/CDC" if op == "streaming_profile" else "dedup/similarity"
+    )
 
     @query(
         name,
         oracle=sql,  # the emitted reference SQL — the question's exact meaning
-        covers=f"N1-N3 + dedup/similarity NL routing: {expected_branch} "
+        covers=f"N1-N3 + {surface} NL routing: {expected_branch} "
         f"-> operator {op} ({question!r})",
     )
     def _run(spark, t, _op=op, _args=args):

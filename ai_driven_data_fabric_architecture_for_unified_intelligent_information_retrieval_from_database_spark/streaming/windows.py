@@ -84,7 +84,24 @@ def events_stream_from_dir(
     corpus as an out-of-order multi-batch feed."""
     register_views(spark, sf_dir)  # pins session confs (UTC, nanosAsLong)
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    reader = spark.readStream.schema(raw_schema)
+    return events_stream_from_stage(
+        spark, parts_dir, raw_schema, max_files_per_trigger
+    )
+
+
+def events_stream_from_stage(
+    spark: SparkSession,
+    parts_dir: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a staged directory with an EXPLICIT schema — the
+    corpus-dir-free form of :func:`events_stream_from_dir`, for feeds
+    staged from an already-registered relation (the NL engine's
+    streaming route) rather than from a canonical sf_dir. The caller is
+    responsible for session conf pinning (register_views has already run
+    wherever a staged relation exists)."""
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return _with_event_time(reader.parquet(parts_dir))

@@ -198,3 +198,61 @@ def test_llm_provider_false_means_off(spark, monkeypatch):
     assert eng.planner.llm_provider is None
     out = eng.process("How many employees work in the IT department?")
     assert out["success"] is True
+
+
+def test_operator_route_response_envelope(spark):
+    """The operator-dispatch path (r10 verdict item 9) must produce the
+    SAME response lifecycle as the SQL path: full envelope on success,
+    serialized JSON-native rows, the question's reference SQL reported
+    for transparency, and success-only caching."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, "/root/testdata/sf0.001")
+    eng = DataFabricEngine(spark, tables={"documents", "embeddings"})
+    q = "Show the 3 documents most similar to document 0"
+    out = eng.process(q)
+    assert out["success"] is True, out.get("error")
+    assert set(out) >= {
+        "success", "original_query", "sql_query", "data", "columns",
+        "row_count", "cached",
+    }
+    assert out["sql_query"] and "embeddings" in out["sql_query"]
+    assert out["row_count"] == 3 and len(out["data"]) == 3
+    assert out["columns"] == ["vec_id", "label", "cos_sim"]
+    # serializer parity with the SQL path: the reference coercion
+    # stringifies non-date non-salary values (serialization.py), so the
+    # operator path's rows must arrive as the same coerced dicts
+    for r in out["data"]:
+        assert isinstance(r, dict) and set(r) == set(out["columns"])
+        assert isinstance(r["cos_sim"], str) and float(r["cos_sim"]) > 0
+    assert out["cached"] is False
+    again = eng.process(q)
+    assert again["cached"] is True and again["data"] == out["data"]
+
+
+def test_operator_route_error_envelope(spark):
+    """A similarity question whose operator FAILS at execution (the
+    allowlist claims a table that is not actually registered) must fall
+    into the reference's catch-all error envelope — identical shape to
+    the SQL path's failure, never a raw exception."""
+    try:
+        spark.catalog.dropTempView("embeddings")
+    except Exception:
+        pass
+    try:
+        eng = DataFabricEngine(spark, tables={"embeddings"})
+        out = eng.process("Show the 5 documents most similar to document 2")
+        assert out["success"] is False
+        assert out["error"].startswith("Query processing failed:")
+        assert out["data"] == [] and out["columns"] == []
+        assert out["row_count"] == 0 and out["cached"] is False
+        # the planned reference SQL is still reported for transparency
+        assert out["sql_query"] and "embeddings" in out["sql_query"]
+    finally:
+        # restore the view the catalog cache still believes exists
+        # (register_views would cache-hit and skip re-creating it)
+        spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).createOrReplaceTempView("embeddings")
