@@ -49,18 +49,20 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: Round 11 window (r10 verdict task 7: front the r07 cohort — the
 #: oldest after the r10 rotation — so no entry's latest driver check is
 #: older than r08). Composition:
-#: 1. round-11 operator-touched entries — the streaming dedup drain
-#:    (dead signature append removed), the CDC upsert pair (src_batch
-#:    exactly-once commit guard), and cdc_merge_apply (phase split) plus
-#:    the bucketed-table writers riding the prepare_table_location
-#:    pid-guard, most of which are already in cohort 2;
+#: 1. round-11 new/operator-touched entries — the NEW NL streaming route
+#:    (nl_users_live_profile), the streaming dedup drain (dead signature
+#:    append removed + fused candidate join), the CDC upsert pair
+#:    (src_batch exactly-once commit guard), and cdc_merge_apply (phase
+#:    split) plus the bucketed-table writers riding the
+#:    prepare_table_location pid-guard, most already in cohort 2;
 #: 2. all 48 entries last driver-checked in r07, 37 substantial shapes
 #:    first and the 11 single-rule nl_* routes last, so if the driver's
 #:    window cuts at exactly 50 the only entries left at r07 are
 #:    trivial NL routes re-verified locally every run.
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # --- round-11 operator-touched ---
+    # --- round-11 new / operator-touched ---
+    "nl_users_live_profile",
     "streaming_dedup_minhash",
     "streaming_cdc_upsert_bucketed",
     "streaming_cdc_upsert",
