@@ -141,6 +141,13 @@ ASYMMETRIC_CELLS = {
     "cdc_merge_incremental": (
         "two durable bucketed merge writes; oracle merges in memory"
     ),
+    "cdc_merge_apply": (
+        "Spark cell times the MERGE only (the synthetic feed is "
+        "checkpointed as untimed demo scaffolding, disclosed via "
+        "untimed_construction_s/phase_split_s); the oracle derives the "
+        "feed inline — asymmetric in SPARK's favor, so it is excluded "
+        "from the symmetric ratio rather than padding it"
+    ),
     "streaming_dedup_watermark": (
         "real incremental streaming engine drained via durable sink; "
         "oracle is one batch SQL pass"
