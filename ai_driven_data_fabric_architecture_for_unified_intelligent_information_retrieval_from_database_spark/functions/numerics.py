@@ -53,6 +53,33 @@ _SCALE = 6
 # Wide (decimal) variant: accumulator is decimal(28,6) — exact to 1e22.
 _SUM_DECIMAL = "decimal(18,6)"
 
+# Corpus-scale switch: when True, stable_sum/stable_avg build their wide
+# (decimal-accumulator) forms instead of aborting past the micro-unit
+# range. Checked at QUERY-BUILD time (operators construct their plans per
+# call), so a caller that detects an over-range corpus — bench.py's
+# headroom guard, or any deployment's startup probe — flips this once and
+# every money reduction in the engine degrades to the exact-to-1e22 form
+# (~1.6x slower on those aggregates) instead of raising mid-query under
+# ANSI mode. The DuckDB oracle text needs no twin switch: DuckDB's
+# SUM(BIGINT) already accumulates in int128, i.e. the oracle side is
+# always running ITS wide form. Seeded from SPARK_GRAFT_WIDE_SUMS for
+# subprocess benches; toggle in-process with set_wide_sums().
+import os as _os
+
+_WIDE_SUMS = _os.environ.get("SPARK_GRAFT_WIDE_SUMS", "0") == "1"
+
+
+def set_wide_sums(on: bool) -> bool:
+    """Flip the engine-wide wide-accumulator mode; returns previous value."""
+    global _WIDE_SUMS
+    prev = _WIDE_SUMS
+    _WIDE_SUMS = bool(on)
+    return prev
+
+
+def wide_sums_enabled() -> bool:
+    return _WIDE_SUMS
+
 
 def _col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -82,14 +109,33 @@ def micro_units(col: Column | str, scale: int = _SCALE) -> Column:
     return F.when(v >= 0, v + 0.5).otherwise(v - 0.5).cast("long")
 
 
+def _wide_micro_sum(col: Column | str, scale: int = _SCALE) -> Column:
+    """Wide-mode twin of ``SUM(micro_units(x))`` cast to double: the same
+    exact integer micro-unit total, accumulated in decimal(38,0) instead of
+    long (overflow bound 1e38 micro-units ≈ 1e32 value units), then the
+    same round-to-nearest double conversion the narrow form's long->double
+    step performs. Keeping the arithmetic shape identical — round(S) first,
+    THEN the final IEEE division(s) — makes wide-mode results bitwise-equal
+    to the narrow forms (and therefore to the narrow SQL oracles) at every
+    magnitude where both are in range; a decimal->double conversion AFTER
+    the /10^scale shift instead differs by 1 ulp once S exceeds 2^53
+    (observed on tpch_q1's averages)."""
+    c = _col(col).cast(_SUM_DECIMAL)
+    micro = (c * F.lit(10**scale)).cast("decimal(38,0)")
+    return F.sum(micro).cast("double")
+
+
 def stable_sum(col: Column | str, scale: int = _SCALE) -> Column:
     """Order-independent sum of a double column, returned as double.
 
     Exact-integer accumulation in micro-units (see module docstring);
     range bound ~9.2e12 value units per group, else use
-    :func:`stable_sum_wide`.
+    :func:`stable_sum_wide` (selected automatically under
+    :func:`set_wide_sums`).
     """
     f = F.lit(float(10**scale))
+    if _WIDE_SUMS:
+        return _wide_micro_sum(col, scale) / f
     return F.sum(micro_units(col, scale)) / f
 
 
@@ -102,6 +148,8 @@ def stable_avg(col: Column | str, scale: int = _SCALE) -> Column:
     """
     c = _col(col)
     f = F.lit(float(10**scale))
+    if _WIDE_SUMS:
+        return _wide_micro_sum(c, scale) / (f * F.count(c))
     return F.sum(micro_units(c, scale)) / (f * F.count(c))
 
 

@@ -96,3 +96,42 @@ def test_wide_form_exact_past_microunit_range(spark):
         assert_microunit_headroom(df, "x")
     wide = df.agg(stable_sum_wide("x").alias("s")).head()["s"]
     assert wide == pytest.approx(2.0e13)
+
+
+def test_wide_sums_mode_keeps_oracle_parity(spark):
+    """The over-range degradation path (bench.py flips set_wide_sums when
+    the headroom guard trips past ~sf55): with wide mode ON, every
+    stable_sum/stable_avg builds its decimal-accumulator form — and the
+    values must STILL match the narrow DuckDB oracle bitwise, because
+    both forms produce the correctly-rounded double of the same exact
+    rational (decimal(28,6) -> double conversion vs exact-long / 1e6; the
+    sums here are far below 2^53 so the narrow form's long->double step
+    is exact too). Proven on the heaviest money rollup, tpch_q1."""
+    import duckdb
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.functions.numerics import (
+        set_wide_sums,
+    )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.registry import (
+        oracle_sql,
+        queries,
+    )
+
+    prev = set_wide_sums(True)
+    try:
+        sdf = queries()["tpch_q1_pricing_summary"](spark, SF_ORACLE)
+        spark_rows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        set_wide_sums(prev)
+
+    con = duckdb.connect()
+    for t in ("lineitem",):
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    duck_rows = sorted(tuple(r) for r in con.execute(oracle_sql()["tpch_q1_pricing_summary"]).fetchall())
+    con.close()
+    assert len(spark_rows) == len(duck_rows) > 0
+    for s, d in zip(spark_rows, duck_rows):
+        assert s == d
