@@ -25,10 +25,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_json(cmd: list[str], env: dict | None = None) -> dict:
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, cwd=REPO, check=True
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
+    if proc.returncode != 0:
+        # Surface the child's own diagnostics: a CalledProcessError alone
+        # cost a 50-minute sf60 leg its failure reason (r11) — the
+        # traceback names only the exit status, never the failing cell.
+        sys.stderr.write(proc.stderr[-8000:])
+        raise RuntimeError(f"{cmd} exited {proc.returncode}; stderr above")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
