@@ -578,6 +578,7 @@ def main() -> None:
     # from the artifact (ratio_common) instead of requiring a separate
     # leg under different conditions. SPARK_GRAFT_DUCKDB_REF=0 disables.
     duck: dict[str, float] = {}
+    duck_errors: dict[str, str] = {}
     if os.environ.get("SPARK_GRAFT_DUCKDB_REF", "1") != "0":
         import duckdb
 
@@ -602,6 +603,17 @@ def main() -> None:
                     f"CREATE VIEW {tname} AS"
                     f" SELECT * FROM read_parquet('{p}')"
                 )
+        # Out-of-core guard: at sf60 one oracle's spill filled the disk
+        # (48 GB of temp for a 9.4 GB corpus) and the IOException killed a
+        # 50-minute leg's ENTIRE evidence. Cap DuckDB's temp so it errors
+        # before exhausting the filesystem, and record any oracle failure
+        # per-cell instead of aborting — ratio_common already counts only
+        # cells present on both sides, so a failed oracle drops its cell
+        # from the comparison transparently (disclosed in `errors`).
+        con.execute(
+            "SET max_temp_directory_size="
+            f"'{os.environ.get('SPARK_GRAFT_DUCKDB_TEMP_CAP', '32GiB')}'"
+        )
         osql = oracle_sql()
         for name in HEADLINE:
             if name in skip or name not in osql:
@@ -611,12 +623,19 @@ def main() -> None:
                 if i >= 3 and best >= 1.0:
                     break
                 t0 = time.perf_counter()
-                con.execute(osql[name]).fetchall()
+                try:
+                    con.execute(osql[name]).fetchall()
+                except Exception as e:  # noqa: BLE001 — record, don't die
+                    duck_errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+                    print(f"# duckdb oracle failed: {name}: {e}", file=sys.stderr)
+                    best = None
+                    break
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
                 if el > pass_budget and i >= 1:
                     break
-            duck[name] = round(best, 4)
+            if best is not None:
+                duck[name] = round(best, 4)
 
     total = round(sum(timings.values()), 3)
     common = [q for q in timings if q in duck]
@@ -658,6 +677,9 @@ def main() -> None:
             "asymmetric_cells": {
                 q: ASYMMETRIC_CELLS[q] for q in common if q in ASYMMETRIC_CELLS
             },
+            # Cells whose oracle failed at this scale (e.g. out-of-core
+            # spill past the temp cap) — absent from ratio_common.
+            "errors": duck_errors,
         },
         # Non-empty iff the corpus exceeded the micro-unit range and the
         # suite ran the wide (decimal-accumulator) money forms — the grains
