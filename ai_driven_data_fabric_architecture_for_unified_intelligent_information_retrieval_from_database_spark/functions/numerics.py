@@ -119,10 +119,21 @@ def _wide_micro_sum(col: Column | str, scale: int = _SCALE) -> Column:
     to the narrow forms (and therefore to the narrow SQL oracles) at every
     magnitude where both are in range; a decimal->double conversion AFTER
     the /10^scale shift instead differs by 1 ulp once S exceeds 2^53
-    (observed on tpch_q1's averages)."""
-    c = _col(col).cast(_SUM_DECIMAL)
-    micro = (c * F.lit(10**scale)).cast("decimal(38,0)")
-    return F.sum(micro).cast("double")
+    (observed on tpch_q1's averages).
+
+    Per-value path: shift in double, then one cast to decimal(38,0) —
+    Spark's double->decimal cast rounds HALF_UP (away from zero), the same
+    rounding :func:`micro_units`' branch-plus-cast performs, so both forms
+    recover the identical integer wherever the true value of
+    ``x * 10^scale`` is an integer with double error below 0.5 (module
+    docstring). An earlier form cast each value to decimal(18,6) first;
+    under ANSI mode that ABORTS at |x| >= 1e12 — re-introducing mid-query
+    failure on extreme per-row values, the exact mode wide sums exist to
+    avoid (ADVICE r11). The direct cast's per-term abort bound is the
+    decimal(38,0) range itself (~1e32 value units), matching the
+    accumulator's headroom."""
+    v = _col(col) * F.lit(float(10**scale))
+    return F.sum(v.cast("decimal(38,0)")).cast("double")
 
 
 def stable_sum(col: Column | str, scale: int = _SCALE) -> Column:

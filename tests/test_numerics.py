@@ -135,3 +135,100 @@ def test_wide_sums_mode_keeps_oracle_parity(spark):
     assert len(spark_rows) == len(duck_rows) > 0
     for s, d in zip(spark_rows, duck_rows):
         assert s == d
+
+
+def _duck_one(sql: str, rows: list[tuple]) -> float:
+    """Run one aggregate SQL over an in-memory table t(x) in DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    out = con.execute(sql).fetchone()[0]
+    con.close()
+    return out
+
+
+def test_wide_mode_parity_in_the_rounding_regime(spark):
+    """ADVICE r11: the tpch_q1 parity test runs at sf0.01 where micro-unit
+    sums (~6e14) sit below 2^53, so the long->double conversion is exact
+    and the regime wide mode actually runs in — a ROUNDED int->double
+    conversion (BigDecimal.doubleValue vs l2d, both IEEE
+    round-to-nearest-even of the same exact integer) — was never
+    exercised. Pin it synthetically: a group sum strictly between 2^53
+    and 2^63 whose integer is NOT double-representable, asserting the
+    wide form, the narrow form, and the DuckDB BIGINT oracle are all
+    bitwise-equal."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.functions.numerics import (
+        set_wide_sums,
+        sql_stable_avg,
+        sql_stable_sum,
+        stable_avg,
+        stable_sum,
+    )
+
+    n = 1000
+    # micro_i = 2e14 + i exactly; S = 2e17 + 499500: above 2^53 (~9.0e15),
+    # below 2^63 (~9.2e18), and 499500 is not a multiple of the double
+    # spacing at 2e17 (32) — so the final int->double conversion MUST round.
+    s_micro = n * 200_000_000_000_000 + sum(range(n))
+    assert 2**53 < s_micro < 2**63
+    assert float(s_micro) != s_micro  # the conversion genuinely rounds
+    df = spark.range(n).select(
+        (F.lit(2.0e8) + F.col("id") * F.lit(1e-6)).alias("x")
+    )
+    narrow = df.agg(
+        stable_sum("x").alias("s"), stable_avg("x").alias("a")
+    ).head()
+    prev = set_wide_sums(True)
+    try:
+        wide = df.agg(
+            stable_sum("x").alias("s"), stable_avg("x").alias("a")
+        ).head()
+    finally:
+        set_wide_sums(prev)
+    rows = [(2.0e8 + i * 1e-6,) for i in range(n)]
+    duck_s = _duck_one(f"SELECT {sql_stable_sum('x')} FROM t", rows)
+    duck_a = _duck_one(f"SELECT {sql_stable_avg('x')} FROM t", rows)
+    assert narrow["s"] == wide["s"] == duck_s
+    assert narrow["a"] == wide["a"] == duck_a
+
+
+def test_wide_mode_parity_past_long_range(spark):
+    """The wide-only regime (group sum past 2^63, reachable near sf60 on
+    q1's largest group): the narrow long accumulator would wrap, so wide
+    mode is the ONLY Spark form — pin it bitwise against the DuckDB
+    HUGEINT (int128) oracle, i.e. BigDecimal(38,0).doubleValue vs DuckDB's
+    int128->double on the same exact integer."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.functions.numerics import (
+        set_wide_sums,
+        stable_sum,
+    )
+
+    n = 4096
+    # micro_i = 3e15 + (i mod 3) < 2^53 per term (each exact in double);
+    # S = 1.2288e19 + 4095 > 2^63 — long would wrap, decimal(38,0) holds —
+    # and 4095 is odd, so S is not a multiple of the double spacing at
+    # 1.2e19 (2048): the int->double conversion genuinely rounds. (A plain
+    # +i increment makes the remainder Σi = n(n-1)/2, which at n=4096 is
+    # exactly divisible by 2048 — silently exact, defeating the test.)
+    s_micro = n * 3_000_000_000_000_000 + sum(i % 3 for i in range(n))
+    assert s_micro > 2**63
+    assert float(s_micro) != s_micro
+    df = spark.range(n).select(
+        (F.lit(3.0e9) + (F.col("id") % 3) * F.lit(1e-6)).alias("x")
+    )
+    with pytest.raises(OverflowError):
+        assert_microunit_headroom(df, "x")
+    prev = set_wide_sums(True)
+    try:
+        wide = df.agg(stable_sum("x").alias("s")).head()["s"]
+    finally:
+        set_wide_sums(prev)
+    rows = [(3.0e9 + (i % 3) * 1e-6,) for i in range(n)]
+    duck = _duck_one(
+        "SELECT SUM(CAST(ROUND(x * 1000000.0) AS HUGEINT)) / 1000000.0"
+        " FROM t",
+        rows,
+    )
+    assert wide == duck
