@@ -137,6 +137,23 @@ TIMED_CONSTRUCTION = {
 #: hide. (dedup_components / graph_pagerank_parts are timed-construction
 #: too, but their construction IS the algorithm on both engines — the
 #: oracle pays the equivalent recursive CTE — so they stay symmetric.)
+#:
+#: ADMISSION RULE (r11 verdict item 7 — this set must not quietly grow):
+#: a cell may be added here ONLY when (a) the asymmetry is STRUCTURAL —
+#: the two timed windows contain different WORK (durable writes vs
+#: in-memory, a multi-batch incremental engine vs one batch pass, or a
+#: timed window that favors Spark), never merely "Spark is slower here";
+#: (b) the reason string names that structural difference and ships in
+#: the artifact; (c) the exclusion does not hide the cell — it stays in
+#: ``ratio_common`` and the per-cell timings unconditionally, so the
+#: all-in number is always reconstructable (cells whose asymmetry favors
+#: SPARK are excluded so they cannot pad the symmetric ratio; cells whose
+#: asymmetry favors the oracle are excluded only because the symmetric
+#: ratio exists to compare like work, and their unfavorable all-in ratio
+#: remains fully published); and (d) the addition is recorded in
+#: BASELINE.md with a justification against this rule, and the pin test
+#: (tests/test_entry.py::test_asymmetric_cells_pinned) is updated in the
+#: same commit — a new exclusion can never ride in silently.
 ASYMMETRIC_CELLS = {
     "cdc_merge_incremental": (
         "two durable bucketed merge writes; oracle merges in memory"

@@ -65,3 +65,27 @@ def test_bench_final_line_always_fits_tail_budget():
     # worst-first: the slowest cell must be present, the fastest absent
     assert "some_quite_long_operator_name_199" in kept
     assert "some_quite_long_operator_name_000" not in kept
+
+
+def test_asymmetric_cells_pinned():
+    """The symmetric-ratio exclusion set is governed by the admission rule
+    in bench.py (r11 verdict item 7): a new exclusion requires a
+    structural reason in the artifact, a BASELINE.md justification, AND an
+    update to this pin — so the set can never grow silently between
+    rounds."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    import bench
+
+    assert set(bench.ASYMMETRIC_CELLS) == {
+        "cdc_merge_incremental",
+        "cdc_merge_apply",
+        "streaming_dedup_watermark",
+        "streaming_tumbling_hourly",
+        "streaming_cdc_upsert_bucketed",
+        "streaming_dedup_minhash",
+    }
+    for name, reason in bench.ASYMMETRIC_CELLS.items():
+        assert isinstance(reason, str) and len(reason) > 20, name
