@@ -281,7 +281,12 @@ def cdc_merge_incremental(spark, t):
     # recycled-token leftover and age-prune cdc_inc_* dirs from exited
     # processes, which otherwise accumulated without bound.
     prepare_table_location(spark, inc_tbl, "cdc_inc_")
-    write_bucketed(v1, inc_tbl, "key", n_buckets=16, sort_col="key")
+    # v1's full-outer SMJ output is already hash(key)-partitioned to the
+    # bucket count (the base table's spec), so the writer skips the
+    # one-file-per-bucket repartition — no redundant exchange.
+    write_bucketed(
+        v1, inc_tbl, "key", n_buckets=16, sort_col="key", pre_partitioned=True
+    )
     merge1_s = time.perf_counter() - t0
     record_phase_split(
         "cdc_merge_incremental",

@@ -254,8 +254,21 @@ def sampling_pack_shards(spark, t):
     caught locally."""
     from pyspark.sql import Window
 
+    # Token count WITHOUT materializing the split array: segments of a
+    # single-space split = (#spaces + 1) including empty segments, so the
+    # length difference is value-identical to SIZE(SPLIT(text, ' '))
+    # (verified 0 mismatches at sf0.1 and sf10) and skips a per-row
+    # array allocation the count immediately discards — at 100 TB that
+    # allocation is pure GC pressure on every executor (r11 verdict
+    # task 6; sf10 full-cell A/B 0.95 -> 0.86 s, scan+count 0.43 ->
+    # 0.34 s, the bare text-column scan floor).
     sized = t["documents"].select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("n_tokens"),
     )
     keyed = sized.select(
         "doc_id",
