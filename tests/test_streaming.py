@@ -521,3 +521,99 @@ def test_cdc_upsert_commit_crash_replay_is_exactly_once(spark):
             assert got[uid] == 1, uid
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_versioned_commit_reader_isolation_and_replay(spark):
+    """The r11 'optional hardening' gap, now closed (r12): the versioned
+    ping-pong commit gives CONCURRENT READERS a consistent view across a
+    multi-partition commit. Pin all three properties:
+
+    (a) ISOLATION — a reader that resolved the pointer before a commit
+        (even one crashed mid-way, after the data writes but before the
+        flip) sees exactly the old version, never a partition mix;
+    (b) REPLAY before flip — re-running the same batch id completes the
+        commit with the values a single clean application produces;
+    (c) REPLAY after flip — a re-delivered batch id over the flipped
+        version rewrites value-identical state (the src_batch stamp)."""
+    from pyspark.sql import functions as F
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators import (
+        streaming_entries as se,
+    )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
+        _session_token,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 10}:00:00", i, "view") for i in range(400)],
+        "user_id long, ts_s string, event_id long, event_type string",
+    ).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    tbl = f"cdcsb_isogate_{_session_token()}"
+    se.create_versioned_profile_state(spark, tbl, se._batch_latest(ev), 0)
+    try:
+        cur0 = se.snapshot_current(spark, tbl)
+        assert cur0 is not None and cur0[2] == 0
+        reader_v0 = spark.table(cur0[0])
+        baseline = {tuple(r) for r in reader_v0.collect()}
+        assert baseline
+
+        delta = ev.where(F.col("user_id") % 3 == 0).withColumn(
+            "event_id", F.col("event_id") + 10_000
+        )
+        latest = se._batch_latest(delta)
+        merged, touched = se.merge_upsert_pruned(spark, cur0[0], latest, 1)
+        assert len(touched) >= 2
+
+        # Crash AFTER the next side is fully built, BEFORE the flip.
+        real_flip = se._flip_pointer
+        def boom(*a, **k):
+            raise RuntimeError("crash before pointer flip")
+        se._flip_pointer = boom
+        try:
+            import pytest as _pytest
+            with _pytest.raises(RuntimeError):
+                se.versioned_commit(spark, tbl, merged, touched, 1)
+        finally:
+            se._flip_pointer = real_flip
+
+        # (a) pointer unmoved; the old reader AND a fresh resolve both
+        # see the exact pre-commit version — no partition mix.
+        assert se.snapshot_current(spark, tbl)[:3] == cur0[:3]
+        assert {tuple(r) for r in reader_v0.collect()} == baseline
+        fresh = spark.table(se.snapshot_current(spark, tbl)[0])
+        assert {tuple(r) for r in fresh.collect()} == baseline
+
+        # (b) the engine replays batch 1 (same id) end-to-end.
+        merged2, touched2 = se.merge_upsert_pruned(spark, cur0[0], latest, 1)
+        assert touched2 == touched
+        se.versioned_commit(spark, tbl, merged2, touched2, 1)
+        cur1 = se.snapshot_current(spark, tbl)
+        assert cur1[2] == 1 and cur1[1] != cur0[1]
+        spark.catalog.refreshTable(cur1[0])
+        after = {
+            (r["user_id"], r["n_events"])
+            for r in spark.table(cur1[0]).collect()
+        }
+        want = {(i, 2 if i % 3 == 0 else 1) for i in range(400)}
+        assert after == want
+
+        # (c) re-delivered batch 1 over the FLIPPED version: the stamp
+        # passes committed rows through verbatim — values unchanged.
+        merged3, touched3 = se.merge_upsert_pruned(spark, cur1[0], latest, 1)
+        se.versioned_commit(spark, tbl, merged3, touched3, 1)
+        cur2 = se.snapshot_current(spark, tbl)
+        assert cur2[2] == 2
+        spark.catalog.refreshTable(cur2[0])
+        after2 = {
+            (r["user_id"], r["n_events"])
+            for r in spark.table(cur2[0]).collect()
+        }
+        assert after2 == want
+    finally:
+        for s in (0, 1):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}_s{s}")
