@@ -642,3 +642,102 @@ def test_cdc_incremental_snapshot_side_no_exchange(spark):
     assert not any("Exchange" in n for n in subtree[:scan_i]), subtree
     # and the change-feed side (after the scan) is where the one shuffle is
     assert any("Exchange" in n for n in subtree[scan_i + 1:]), subtree
+
+
+def test_versioned_side_table_merge_keeps_zero_exchange_and_link_io(spark):
+    """The r12 versioned commit must not cost the plan properties the
+    unversioned gate above pins: a merge read from a DDL-registered SIDE
+    table (versioned_commit's scan side) still has (a) the bucketed scan
+    with zero snapshot-side exchange and the pb PartitionFilters prune,
+    and (b) commit I/O where untouched partitions are HARDLINKS into the
+    next side (same inode — zero data bytes moved) while the current
+    side's files are byte-untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
+        _session_token,
+    )
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators import (
+        streaming_entries as se,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 10}:00:00", i, "view") for i in range(400)],
+        "user_id long, ts_s string, event_id long, event_type string",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_id", "event_type",
+    )
+    tbl = f"cdcsb_vplangate_{_session_token()}"
+    se.create_versioned_profile_state(spark, tbl, se._batch_latest(ev), 0)
+    try:
+        cur_name, cur_side, _ = se.snapshot_current(spark, tbl)
+        target = 2
+        delta_ev = ev.where(se._state_pb(F.col("user_id")) == target).withColumn(
+            "event_id", F.col("event_id") + 10_000
+        )
+        merged, touched = se.merge_upsert_pruned(
+            spark, cur_name, se._batch_latest(delta_ev), batch_id=1
+        )
+        assert touched == [target]
+        plan = merged._sc._jvm.PythonSQLUtils.explainString(
+            merged._jdf.queryExecution(), "formatted"
+        )
+        assert (
+            f"SelectedBucketsCount: {se.N_STATE_BUCKETS} out of"
+            f" {se.N_STATE_BUCKETS}" in plan
+        ), plan[:3000]
+        assert "PartitionFilters" in plan and "pb" in plan, plan[:3000]
+        tree = plan.split("\n(1)", 1)[0].splitlines()
+        join_depth, subtree = None, []
+        for line in tree:
+            node = line.lstrip(" :+-")
+            depth = len(line) - len(node)
+            if "SortMergeJoin" in node and "FullOuter" in node:
+                join_depth = depth
+                continue
+            if join_depth is not None and depth > join_depth:
+                subtree.append(node)
+        assert join_depth is not None, plan[:3000]
+        scan_i = next(
+            (i for i, n in enumerate(subtree) if "Scan" in n and "cdcsb_" in n),
+            None,
+        )
+        assert scan_i is not None, f"no bucketed state scan in: {subtree}"
+        assert not any("Exchange" in n for n in subtree[:scan_i]), subtree
+
+        root = se._snapshot_root(spark, tbl)
+        loc_cur = os.path.join(root, f"side{cur_side}")
+
+        def snap(loc):
+            out = {}
+            for pb in range(se.N_STATE_PARTS):
+                d = os.path.join(loc, f"pb={pb}")
+                out[pb] = {
+                    f: os.stat(os.path.join(d, f)).st_ino
+                    for f in os.listdir(d)
+                    if not f.startswith(".")
+                }
+            return out
+
+        cur_before = snap(loc_cur)
+        se.versioned_commit(spark, tbl, merged, touched, 1)
+        # current side byte-untouched (same files, same inodes)
+        assert snap(loc_cur) == cur_before
+        _, new_side, version = se.snapshot_current(spark, tbl)
+        assert version == 1 and new_side != cur_side
+        nxt = snap(os.path.join(root, f"side{new_side}"))
+        for pb in range(se.N_STATE_PARTS):
+            if pb == target:
+                assert nxt[pb] and not (
+                    set(nxt[pb].values()) & set(cur_before[pb].values())
+                ), "touched partition must be fresh files"
+            else:
+                assert nxt[pb] == cur_before[pb], (
+                    f"untouched pb={pb} must be hardlinks (same inodes)"
+                )
+    finally:
+        for s in (0, 1):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}_s{s}")
