@@ -49,8 +49,21 @@ def main() -> None:
             "the timings. Wait for it or kill it first.",
             file=sys.stderr,
         )
+    settle = os.environ.get("SPARK_GRAFT_LEG_SETTLE", "0") == "1"
     results = []
     for d in dirs:
+        if settle:
+            # Idle-start protocol PER LEG (r11 verdict task 5: the
+            # in-sequence sf10/sf30 legs started at load 8.65/5.56 and
+            # inflated every ratio 20-35% on both engines): wait for the
+            # previous leg's JVM teardown + page-cache churn to drain
+            # before starting the next one. Bounded wait, disclosed via
+            # the leg's own load_avg_start either way.
+            import time as _time
+
+            deadline = _time.time() + 600
+            while os.getloadavg()[0] >= 1.0 and _time.time() < deadline:
+                _time.sleep(15)
         # A 45 s pass budget (vs bench.py's 20 s default) lets the
         # quadratic ground-truth cells complete all three passes: with the
         # default, one slow warmup pass (whole-stage codegen + GC debt
