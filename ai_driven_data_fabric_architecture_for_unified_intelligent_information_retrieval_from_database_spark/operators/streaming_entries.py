@@ -864,8 +864,11 @@ def profile_stream_from_df(spark, events_df) -> DataFrame:
     relation is file-backed; per-invocation scratch otherwise, since
     an in-memory frame has no (path, size, mtime) freshness key) and
     drain it through the exact shipped
-    :func:`cdc_upsert_pruned_drain` — 4 micro-batches of 8 files, the
-    src_batch exactly-once commit, the pruned bucketed merge. This is
+    :func:`cdc_upsert_pruned_drain` — a 4-micro-batch replay of 8 files
+    each (this NL route keeps the longer replay: it demonstrates the
+    continuous-ingest shape, and the bench cell is the registered
+    2-batch entry, not this one), the src_batch exactly-once commit,
+    the versioned reader-isolated pruned bucketed merge. This is
     the NL engine's entry into the streaming surface
     (``nl_users_live_profile``: "keep a live profile of every user"
     routes HERE instead of to a batch argmax, because the live form of
