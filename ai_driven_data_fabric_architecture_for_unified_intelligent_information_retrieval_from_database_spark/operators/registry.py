@@ -46,83 +46,78 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: regardless).  Round-window history lives in README.md ("Correctness window
 #: rotation").
 #:
-#: Round 12 window (r11 verdict task 4 + judge "What's wrong" 2b: the
-#: r11 window cut at 50 and left nl_revenue_by_segment /
-#: nl_top_customers — positions 50-51 — at their r07 check, exactly the
-#: contingency the r11 comment predicted). Composition:
-#: 1. the two r07 stragglers FIRST, so no cut can skip them again and
-#:    "no entry older than r08" becomes true at the r12 check;
-#: 2. round-12 operator-touched entries — the two streaming cells whose
-#:    drains dropped to 2-batch replays (per-batch fixed cost is a
-#:    replay parameter; split-pair semantics stay test-pinned), the CDC
-#:    merge family (r12 rejection-audit/squeeze), sampling_pack_shards
-#:    and events_markov_transitions (r12 scale audits), and the
-#:    wide-sums-path money rollups (numerics._wide_micro_sum rewrite);
-#: 3. the oldest remaining cohort (last driver-checked r08), so the
-#:    rotation keeps every entry's staleness bounded.
+#: Round 13 window (r12 verdict task 4). Composition:
+#: 1. the r08 tail FIRST — the six entries whose latest driver check is
+#:    r08 (grouping_rollup, grouping_cube, pivot_status_by_priority,
+#:    set_union_by_name, text_word_frequency, text_token_count); fronting
+#:    them makes "no entry's latest check older than r09" true at the
+#:    r13 check no matter where the ~50 cut lands;
+#: 2. round-13 operator-touched entries not already in the r09 cohort —
+#:    the TPC-H q3/q4/q5 family (audit-refresh round) and
+#:    cdc_merge_incremental (n_buckets knob A/B);
+#: 3. the full r09 cohort (43 entries), graph_pagerank_parts and
+#:    tpch_q8 (also round-13-touched) fronted, the simplest
+#:    locally-verified NL shapes last so a 50-entry cut drops only
+#:    those (they stay r09 — still within the staleness bound).
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # --- the two r07 stragglers (cut from the r11 window at 50) ---
-    "nl_revenue_by_segment",
-    "nl_top_customers",
-    # --- round-12 operator-touched ---
-    "streaming_dedup_minhash",
-    "streaming_cdc_upsert_bucketed",
-    "streaming_cdc_upsert",
-    "cdc_merge_apply",
-    "cdc_merge_incremental",
-    "cdc_merge_pruned",
-    "sampling_pack_shards",
-    "events_markov_transitions",
-    "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    # --- oldest remaining cohort (last driver-checked r08; substantial
-    # shapes first so a 50-entry cut drops only simple locally-verified
-    # shapes) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_part_values",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_suppliers_kept_waiting",
-    "skew_salted_join",
-    "skew_salted_group_count",
-    "range_join_price_bands",
-    "streaming_sessionize",
-    "streaming_view_purchase_join",
-    "dedup_minhash_incremental",
-    "similarity_sign_lsh_buckets",
-    "embedding_quantize_error",
-    "multimodal_decode_pnm_dispatch",
-    "multimodal_frame_sample",
-    "multimodal_chunking",
-    "multimodal_resize_plan",
-    "multimodal_byte_stats",
-    "timeseries_gap_fill",
-    "events_funnel_timeboxed",
-    "windowed_event_rate",
-    "text_fuzzy_name_pairs",
-    "text_bpe_token_estimate",
-    "text_quality_calibrated",
-    "text_lang_id",
-    "text_shingle_stats",
-    "text_unigram_surprisal",
-    "sampling_deterministic_split",
-    "agg_approx_sketches",
-    "array_functions_embeddings",
-    "agg_string_concat_per_group",
-    "window_first_last_value",
-    "window_ntile_percent_rank",
+    # --- the r08 tail (oldest six) ---
     "grouping_rollup",
     "grouping_cube",
     "pivot_status_by_priority",
     "set_union_by_name",
     "text_word_frequency",
     "text_token_count",
+    # --- round-13 operator-touched (not in the r09 cohort) ---
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "cdc_merge_incremental",
+    # --- the r09 cohort (43 entries; round-13-touched members first,
+    # then substantial shapes, simplest NL shapes last) ---
+    "graph_pagerank_parts",
+    "tpch_q8_market_share",
+    "sampling_pack_context_windows",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customers",
+    "events_funnel_conversion",
+    "dedup_exact",
+    "dedup_normalized_groups",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_cross_source_matrix",
+    "similarity_bucketed_ann",
+    "events_tumbling_window",
+    "events_path_trigrams",
+    "events_user_outliers",
+    "events_retention_cohorts",
+    "streaming_sliding_halfhour",
+    "streaming_user_profile",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_length_histogram",
+    "text_bpe_merge_candidates",
+    "text_bigram_surprisal",
+    "partition_pruned_daily_read",
+    "sampling_stratified_quota",
+    "grouping_sets_explicit",
+    "source_orc_roundtrip",
+    "window_cume_dist_nth",
+    "unpivot_lineitem_measures",
+    "lateral_topn_per_order",
+    "window_ratio_to_report",
+    "multimodal_decode_any",
+    "multimodal_decode_wav_real",
+    "multimodal_decode_y4m_real",
+    "pipeline_datacard_manifest",
+    "project_all",
+    "nl_docs_quality_floor",
+    "nl_docs_duplicates",
+    "nl_docs_avg_tokens",
+    "nl_revenue_by_nation",
+    "nl_avg_order_value",
+    "nl_count_parts",
 ]
 
 

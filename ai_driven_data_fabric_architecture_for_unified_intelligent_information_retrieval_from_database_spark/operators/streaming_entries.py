@@ -662,6 +662,16 @@ def _flip_pointer(ss, table: str, side: int, version: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, "CURRENT"))
+    # fsync the directory too: os.replace orders the rename in the page
+    # cache but not on disk — without this the flip itself could be lost
+    # on power failure (readers would see the OLD version, still
+    # consistent, but the commit's durability claim would be overstated;
+    # ADVICE r12).
+    dfd = os.open(root, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _create_side_table(ss, table: str, side: int, schema_ddl: str) -> str:

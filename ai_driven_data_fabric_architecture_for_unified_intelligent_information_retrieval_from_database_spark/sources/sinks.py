@@ -68,6 +68,44 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.mode(mode).format("parquet").saveAsTable(table)
+    # Layout guard (ADVICE r12): pre_partitioned=True trusts the caller's
+    # claim that the input already carries the pmod(hash) layout — but
+    # Catalyst reports a full-outer SMJ's outputPartitioning as Unknown,
+    # so an upstream plan change (AQE coalesce, join-strategy shift) could
+    # silently regress to many files per bucket with no correctness
+    # symptom. Count the data files post-write and warn loudly; callers'
+    # tests assert on this too (tests/test_plans.py).
+    n_files = _count_bucket_files(df.sparkSession, table)
+    if n_files > n_buckets:
+        import warnings
+
+        warnings.warn(
+            f"write_bucketed({table!r}): {n_files} data files for "
+            f"{n_buckets} buckets — the one-file-per-bucket layout "
+            f"regressed (pre_partitioned={pre_partitioned}); expect "
+            "slower bucketed reads",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
+def _count_bucket_files(spark: SparkSession, table: str) -> int:
+    """Number of parquet data files under a managed table's location."""
+    import os
+    from urllib.parse import urlparse
+
+    loc = urlparse(
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .where("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).path
+    try:
+        return sum(
+            1 for f in os.listdir(loc)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+    except OSError:
+        return 0
 
 
 def append_log(df: DataFrame, path: str) -> None:

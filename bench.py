@@ -174,8 +174,9 @@ ASYMMETRIC_CELLS = {
         "oracle is one batch SQL pass"
     ),
     "streaming_cdc_upsert_bucketed": (
-        "real streaming engine + four durable bucketed merge writes; "
-        "oracle is one batch SQL argmax"
+        "real streaming engine + durable bucketed versioned commits "
+        "(2-batch replay: one create + one merge commit); oracle is one "
+        "batch SQL argmax"
     ),
     "streaming_dedup_minhash": (
         "real streaming engine + per-batch durable state/pair appends; "
@@ -598,6 +599,7 @@ def main() -> None:
     # leg under different conditions. SPARK_GRAFT_DUCKDB_REF=0 disables.
     duck: dict[str, float] = {}
     duck_errors: dict[str, str] = {}
+    duck_partial: set[str] = set()
     if os.environ.get("SPARK_GRAFT_DUCKDB_REF", "1") != "0":
         import duckdb
 
@@ -655,13 +657,19 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001 — record, don't die
                     # A failure on pass 2+ (e.g. a transient spill past the
                     # temp cap) does NOT discard pass 1's valid timing: keep
-                    # the pre-exception best and note the partial
-                    # measurement, so one flaky pass can't silently shrink
-                    # ratio_common by a cell (ADVICE r11).
+                    # the pre-exception best, PUBLISHED PER-CELL ONLY — the
+                    # cell is EXCLUDED from ratio_common/_symmetric
+                    # (`duck_partial`), because a best-of-fewer cold-pass
+                    # oracle time against Spark's min-of-6 warm passes would
+                    # bias the headline ratios in Spark's favor (ADVICE r12,
+                    # refining ADVICE r11's keep-the-evidence rule).
                     partial = (
                         f" (partial: kept best of {i} clean pass(es)"
-                        f" = {best:.4f}s)" if best is not None else ""
+                        f" = {best:.4f}s; excluded from ratio_common)"
+                        if best is not None else ""
                     )
+                    if best is not None:
+                        duck_partial.add(name)
                     duck_errors[name] = (
                         f"{type(e).__name__}: {str(e)[:200]}{partial}"
                     )
@@ -675,7 +683,11 @@ def main() -> None:
                 duck[name] = round(best, 4)
 
     total = round(sum(timings.values()), 3)
-    common = [q for q in timings if q in duck]
+    # Partial-pass oracle cells keep their per-cell timing in `queries`
+    # (evidence preserved) but are excluded from both headline ratios —
+    # apples-to-apples requires the same adaptive warm-pass rule on both
+    # sides (ADVICE r12).
+    common = [q for q in timings if q in duck and q not in duck_partial]
     duck_common = round(sum(duck[q] for q in common), 3) if common else None
     spark_common = round(sum(timings[q] for q in common), 3) if common else None
 
@@ -715,8 +727,12 @@ def main() -> None:
                 q: ASYMMETRIC_CELLS[q] for q in common if q in ASYMMETRIC_CELLS
             },
             # Cells whose oracle failed at this scale (e.g. out-of-core
-            # spill past the temp cap) — absent from ratio_common.
+            # spill past the temp cap) — absent from ratio_common, whether
+            # the failure hit pass 1 (no timing at all) or pass 2+ (the
+            # partial best-of-fewer timing is published in `queries` and in
+            # `partial_cells` but never enters a ratio).
             "errors": duck_errors,
+            "partial_cells": sorted(duck_partial),
         },
         # Non-empty iff the corpus exceeded the micro-unit range and the
         # suite ran the wide (decimal-accumulator) money forms — the grains

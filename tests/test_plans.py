@@ -644,6 +644,34 @@ def test_cdc_incremental_snapshot_side_no_exchange(spark):
     assert any("Exchange" in n for n in subtree[scan_i + 1:]), subtree
 
 
+def test_cdc_incremental_pre_partitioned_write_one_file_per_bucket(spark):
+    """pre_partitioned=True trusts that v1's full-outer SMJ output already
+    carries the hash(key) bucket layout — a property Catalyst reports as
+    Unknown partitioning, so nothing in the PLAN guards it. This test
+    guards the FILES: after the merge's durable write, the cdc_inc_*
+    table must hold at most one data file per bucket (16), or the
+    one-file-per-bucket layout has silently regressed to the 512-file
+    shape the r12 A/B measured as 2.7x slower to write (ADVICE r12)."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.sinks import (
+        _count_bucket_files,
+    )
+
+    # Building the query writes the inc table as a side effect.
+    df = queries()["cdc_merge_incremental"](spark, SF_ORACLE)
+    df.collect()
+    inc_tables = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("cdc_inc_")
+    ]
+    assert inc_tables, "cdc_inc_* table not registered"
+    for t in inc_tables:
+        n = _count_bucket_files(spark, t)
+        assert 0 < n <= 16, (
+            f"{t}: {n} data files for 16 buckets — pre_partitioned layout "
+            "assumption broke"
+        )
+
+
 def test_versioned_side_table_merge_keeps_zero_exchange_and_link_io(spark):
     """The r12 versioned commit must not cost the plan properties the
     unversioned gate above pins: a merge read from a DDL-registered SIDE
