@@ -117,6 +117,23 @@ def graph_pagerank_parts(spark, t):
     over the strong-association subgraph, all keyed on part ids — far
     below fact scale.
 
+    Round-13 note — the sf30 "blow-up" was the rollup's partition
+    count, not drift: the cell's 100-117 s r12 leg readings decompose
+    (phase_split_s, added this round) as edge build ~115 s / iteration
+    7-19 s, and the edge build's cost was the support filter inheriting
+    the session's 32 shuffle partitions — ~11M packed pairs (88 MB)
+    sorted per task. The data-scaled rule below (~3M pairs/task, 128
+    partitions at sf30) cut the edge build 92-112 -> 35 s, values
+    identical (3-pass interleaved A/B, /tmp/pg_edge_ab3). Two pure-JVM
+    support filters were re-auditioned at sf30 and REJECTED: the plain
+    hash groupBy (61 s warm) and a pid-window streaming sort (47-66 s)
+    both died with UNABLE_TO_ACQUIRE_MEMORY on repeat passes at 32
+    partitions — the Python kernel's sort memory lives OUTSIDE the JVM
+    execution pool, which is exactly why the cell never OOMs. Fresh
+    same-minute interleaved drift audit on the pre-fix code read
+    1.30/1.48/1.33 vs DuckDB (not the 2.5x the legs suggested; DuckDB
+    itself spans 47-85 s on this cell across observations).
+
     Round-7 shape (r06 verdict items all addressed; fresh same-session
     sf10 decomposition in tools/pagerank_ab2.py: edge build 9.6-10.7 s,
     iteration 3.0 s, DuckDB oracle 7.8 s under identical host state —
@@ -169,6 +186,18 @@ def graph_pagerank_parts(spark, t):
       touched and concurrent query construction can't observe AQE off.
       The fact-scale edge build keeps AQE on in the parent session.
     """
+    # Phase-split instrumentation (the cdc_merge_incremental precedent):
+    # the cell's wall-clock divides into the fact-scale EDGE BUILD (the
+    # basket explode + support rollup, executed at the localCheckpoint)
+    # and the pruned-graph ITERATION phase — bench emits the split as
+    # phase_split_s so every leg's artifact decomposes this cell without
+    # a separate tool run (r13; the r12 legs' 100-117 s readings could
+    # not attribute sf30 cost between the phases).
+    import time as _time
+
+    from .registry import record_phase_split
+
+    _t0 = _time.perf_counter()
     # Per-order baskets via collect_set (the shared order_baskets
     # subtree) — ONE exchange (order grain) plus the pair-count rollup.
     # The HOF lambdas run interpreted but over <= 7-item baskets
@@ -208,7 +237,26 @@ def graph_pagerank_parts(spark, t):
                 n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
             except Exception:
                 n_shuf = 200
-            dup = pairs.repartition(n_shuf, "pk").mapInPandas(
+            # Size the rollup's partition count to the DATA, not the
+            # session default: the kernel's per-task cost is one numpy
+            # sort of (pairs / n_parts) longs, and at sf30 inheriting the
+            # session's 32 partitions put ~11M pairs (88 MB) in every
+            # task — the whole edge build read 92-112 s. Re-chunking the
+            # same work into ~3M-pair tasks (128 partitions at sf30)
+            # dropped it to 35 s, values identical (r13 A/B, 3 passes
+            # interleaved; the superlinear sf30 blow-up the r12 legs
+            # recorded was THIS, not engine drift). Estimate: pairs ~= 2x
+            # lineitem rows and the optimizer's footer-stat estimate is
+            # ~19 B/row, so bytes/(28 MB) ~= pairs/3M. Floor at the
+            # session setting (small corpora keep full parallelism),
+            # cap at 1024 (a 100 TB corpus wants ~34k partitions from
+            # this rule — there the cluster's own shuffle parallelism
+            # should bind, so the cap hands control back to the conf).
+            n_roll = max(
+                n_shuf,
+                min(1024, plan_size_estimate(t["lineitem"]) // (28 << 20)),
+            )
+            dup = pairs.repartition(n_roll, "pk").mapInPandas(
                 _duplicated_keys_fn(_MIN_SUPPORT), "pk long"
             )
         co = dup.select(
@@ -240,6 +288,10 @@ def graph_pagerank_parts(spark, t):
     # from construction, where the checkpoint (and the whole iteration
     # phase below) executes.
     co = co.localCheckpoint()
+    record_phase_split(
+        "graph_pagerank_parts", edge_build_s=_time.perf_counter() - _t0
+    )
+    _t0 = _time.perf_counter()
     co = _lift_into_aqe_off_session(spark, co)
     # Size the CLONE's shuffle parallelism to the materialized edge count
     # (~50 k edges per partition, floor 1, capped at the parent's setting)
@@ -326,7 +378,11 @@ def graph_pagerank_parts(spark, t):
     # Materialize the 20-row result inside the AQE-off clone; the
     # returned frame is bound to that clone, so later actions on it
     # (driver collect, bench noop write) replan nothing fact-scale.
-    return out.localCheckpoint()
+    out = out.localCheckpoint()
+    record_phase_split(
+        "graph_pagerank_parts", iteration_s=_time.perf_counter() - _t0
+    )
+    return out
 
 
 def _duplicated_keys_fn(min_support: int):
