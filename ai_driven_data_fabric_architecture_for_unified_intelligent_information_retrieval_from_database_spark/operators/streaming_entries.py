@@ -635,7 +635,13 @@ def snapshot_current(ss, table: str):
     or None if no snapshot version has ever committed. Readers that
     resolve a version keep a consistent view for the grace of ONE
     subsequent commit (the ping-pong side they hold is only rebuilt by
-    the commit after next)."""
+    the commit after next). Production knob: a deployment with readers
+    slower than two commit intervals generalizes the ping-pong to N
+    retained version directories (``v{k}/`` instead of ``side{0,1}/``)
+    plus the same atomic pointer — retention count trades disk for
+    reader grace, exactly the Iceberg/Delta snapshot-retention
+    trade-off. The two-sided form here is the N=2 instance; the demo
+    keeps it because the registered cell replays 2 batches."""
     import json
     import os
 

@@ -242,12 +242,31 @@ def tpch_q5(spark, t):
             "rev_micro"
         ),
     )
-    if _q5_orders_slice_fits(spark, o_win, oc):
+    fits, n_slice = _q5_orders_slice_probe(spark, o_win, oc)
+    if fits:
         j = lx.join(F.broadcast(oc), lx.l_orderkey == oc.o_orderkey)
         j = j.join(
             F.broadcast(s_asia),
             (j.l_suppkey == s_asia.s_suppkey)
             & (F.col("c_nationkey") == s_asia.s_nationkey),
+        )
+    elif n_slice is not None and n_slice <= _Q5_SUPPFIRST_ROW_CAP:
+        # Mid band (r13, sf30 audit): the slice outgrew the tight
+        # orders-first gate, but a SUPPLIER-FIRST broadcast still beats
+        # the shuffle form — the tiny ASIA-supplier probe cuts lineitem
+        # to ~20% BEFORE the big slice's hash relation is probed, so the
+        # expensive table sees 0.2|L| probes instead of |L|, and the
+        # fact-grain exchange the shuffle form pays is avoided entirely
+        # at the price of one counted multi-M-row build. sf30 interleaved
+        # min-of-3 (tools/q3q5_ab.py): suppfirst 7.69 s vs shipped-
+        # shuffle 10.08 s vs forced-shuffle 10.64 s; at sf10 the tight
+        # gate still holds and orders-first still wins (1.28 vs 2.11 —
+        # the r09 ordering stands inside its band).
+        j = lx.join(F.broadcast(s_asia), lx.l_suppkey == s_asia.s_suppkey)
+        j = j.join(
+            F.broadcast(oc),
+            (j.l_orderkey == oc.o_orderkey)
+            & (F.col("s_nationkey") == oc.c_nationkey),
         )
     else:
         pre = (
@@ -268,8 +287,24 @@ def tpch_q5(spark, t):
     ).select("n_name", (F.col("rev_micro_total") / F.lit(1e6)).alias("revenue"))
 
 
-def _q5_orders_slice_fits(spark, o_win, oc) -> bool:
-    """Broadcast-fitness gate for Q5's qualifying ASIA-orders slice.
+#: Row cap on Q5's mid-band supplier-first broadcast of the qualifying
+#: orders slice. This deliberately exceeds _BCAST_BUILD_ROW_CAP: here the
+#: multi-M-row single-threaded build buys out the FACT-GRAIN EXCHANGE of
+#: the shuffle form (33M pre-aggregated rows at sf30), a far bigger
+#: prize than the dim exchange the general cap was calibrated against
+#: (Q22's anti build). Measured: 2.8M-row build wins by 24% at sf30.
+#: 12M rows (~190 MB hash relation) keeps ~2x headroom over the sf60
+#: slice; the constant is single-node-measured — on a many-executor
+#: cluster the broadcast fan-out cost grows with cluster size, so a
+#: deployment at that scale re-tunes or relies on the shuffle branch.
+_Q5_SUPPFIRST_ROW_CAP = 12_000_000
+
+
+def _q5_orders_slice_probe(spark, o_win, oc) -> tuple[bool, int | None]:
+    """Broadcast-fitness probe for Q5's qualifying ASIA-orders slice:
+    returns ``(fits_tight_gate, counted_rows_or_None)`` so the caller can
+    cost the mid-band supplier-first form off the same counted probe
+    (None = the probe was never paid: the estimate was conclusive).
 
     `_fits_broadcast_counted` cannot be used directly on ``oc``: Spark's
     simple estimator sizes an inner JOIN as the product of its children
@@ -286,18 +321,25 @@ def _q5_orders_slice_fits(spark, o_win, oc) -> bool:
 
     thr = _broadcast_threshold(spark)
     if thr <= 0:
-        return False
+        return False, None
     est = plan_size_estimate(o_win)
     if est <= thr:
-        return True
+        return True, None
     n_regions = 5  # the corpus's region count; the ASIA cut keeps ~1/5
-    if est > _PROBE_SLACK * n_regions * thr:
-        return False
+    # The probe band is widened past the tight gate's by the suppfirst
+    # cap's row budget (16 B/row, two long columns) so the mid-band
+    # decision is also count-settled rather than estimate-guessed.
+    band_cap = max(
+        _PROBE_SLACK * n_regions * thr,
+        _PROBE_SLACK * n_regions * _Q5_SUPPFIRST_ROW_CAP * 16,
+    )
+    if est > band_cap:
+        return False, None
     from .relational import _BCAST_BUILD_ROW_CAP, _counted_probe
 
     oc_plan = oc._jdf.queryExecution().optimizedPlan()
     n = _counted_probe(oc, oc_plan, est)
-    return n <= _BCAST_BUILD_ROW_CAP and n * 16 <= thr  # two long columns
+    return n <= _BCAST_BUILD_ROW_CAP and n * 16 <= thr, n
 
 
 @query(

@@ -86,16 +86,20 @@ def tpch_q4(spark, t):
     )
     op = o.select("o_orderkey", "o_orderdate", "o_orderpriority")
     if _fits_broadcast_counted(spark, op):
+        # Survivor collapse via countDistinct, not the r07 two-phase
+        # (o_orderkey, prio) rollup: identical rows, statistical tie at
+        # sf10 (1.46 vs 1.44 s), and 29% faster at sf30 (4.52 vs 6.38 s
+        # — r13 refresh of tools/q4_ab.py on the post-layout code; the
+        # two-phase form's near-unique (orderkey, prio) exchange is what
+        # ages at scale, the same lesson as pagerank's support rollup).
         return (
             l.join(
                 F.broadcast(op),
                 (l.l_orderkey == op.o_orderkey)
                 & (l.l_shipdate > op.o_orderdate + F.expr("INTERVAL 90 DAYS")),
             )
-            .groupBy("o_orderkey", "o_orderpriority")
-            .agg(F.count("*").alias("_n"))
             .groupBy("o_orderpriority")
-            .agg(F.count("*").alias("order_count"))
+            .agg(F.countDistinct("o_orderkey").alias("order_count"))
         )
     lmax = l.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_shipdate"))
     return (
@@ -251,6 +255,14 @@ def tpch_q8(spark, t):
         F.broadcast(c_am), o.o_custkey == F.col("c_custkey"), "left_semi"
     ).select("o_orderkey", "o_orderdate")
     if _fits_broadcast_counted(spark, qual):
+        # Explicit rollup to (o_year, supp_nation) grain BEFORE the share
+        # aggregate (r13 refresh of tools/q8_ab.py at sf30: 4.54 vs the
+        # r08 form's 5.49 s, identical rows; at sf10 the two were within
+        # 7%). The r08 audit assumed codegen's partial agg made this
+        # rewrite plan-identical — at scale it is not: the share form's
+        # per-fact-row decimal WHEN-conditional is costlier than a plain
+        # decimal sum keyed by (year, nation), and after the rollup the
+        # conditional runs over <=14 rows instead of the PROMO slice.
         base = (
             l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
             .join(
@@ -259,11 +271,11 @@ def tpch_q8(spark, t):
             )
             .join(F.broadcast(qual), l.l_orderkey == qual.o_orderkey)
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-            .select(
-                _year(F.col("o_orderdate")).alias("o_year"),
-                volume.alias("volume"),
-                F.col("supp_nation"),
+            .groupBy(
+                _year(F.col("o_orderdate")).alias("o_year"), F.col("supp_nation")
             )
+            .agg(F.sum(volume).alias("volume"))
+            .select("o_year", "volume", "supp_nation")
         )
         return share(base)
     base = (
