@@ -16,6 +16,17 @@ from pyspark.sql import functions as F
 from ..functions.numerics import sql_stable_sum, stable_sum
 from .registry import query
 
+#: Bucket count for the incremental CDC family's durable tables. 16 was
+#: the r05 value; the r13 knob A/B (tools/nbuckets_ab.py, min-of-3,
+#: merged values asserted identical) measured 32 better at BOTH scales —
+#: sf30 merge+write 3.45 -> 3.05 s, sf60 9.11 -> 6.34 s (base write
+#: 6.18 -> 4.81 s) — because 16 one-file-per-bucket writer tasks starve
+#: a 32-core host; 64 ties 32 at sf60 (6.04) but loses at sf30 (4.01).
+#: The knob's rule: match the write-slot parallelism of the deployment
+#: (here local[32]); per-bucket FILE SIZE then scales with corpus size,
+#: which is what a 100 TB deployment re-tunes it for (thousands).
+_CDC_N_BUCKETS = 32
+
 #: The synthetic change feed, shared by the Spark plan and the oracle:
 #: one update, one delete, and one insert slice of orders. Insert keys
 #: are offset by MAX(o_orderkey) — disjoint from live keys AT ANY SCALE
@@ -269,7 +280,9 @@ def cdc_merge_incremental(spark, t):
     # layout cost, same contract as bucketed_join_revenue); each call
     # then pays exactly the two incremental merges + the v1 rewrite.
     t0 = time.perf_counter()
-    ensure_bucketed_table(spark, base_tbl, snapshot, "key", digest)
+    ensure_bucketed_table(
+        spark, base_tbl, snapshot, "key", digest, n_buckets=_CDC_N_BUCKETS
+    )
     base_layout_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -285,7 +298,8 @@ def cdc_merge_incremental(spark, t):
     # bucket count (the base table's spec), so the writer skips the
     # one-file-per-bucket repartition — no redundant exchange.
     write_bucketed(
-        v1, inc_tbl, "key", n_buckets=16, sort_col="key", pre_partitioned=True
+        v1, inc_tbl, "key", n_buckets=_CDC_N_BUCKETS, sort_col="key",
+        pre_partitioned=True,
     )
     merge1_s = time.perf_counter() - t0
     record_phase_split(

@@ -619,7 +619,7 @@ def test_cdc_incremental_snapshot_side_no_exchange(spark):
     that shuffles — the amortized-upsert property the operator exists to
     demonstrate."""
     plan = plan_of(spark, "cdc_merge_incremental")
-    assert "SelectedBucketsCount: 16 out of 16" in plan, plan[:3000]
+    assert "SelectedBucketsCount: 32 out of 32" in plan, plan[:3000]
     tree = plan.split("\n(1)", 1)[0].splitlines()
     join_depth = None
     subtree = []
@@ -649,9 +649,12 @@ def test_cdc_incremental_pre_partitioned_write_one_file_per_bucket(spark):
     carries the hash(key) bucket layout — a property Catalyst reports as
     Unknown partitioning, so nothing in the PLAN guards it. This test
     guards the FILES: after the merge's durable write, the cdc_inc_*
-    table must hold at most one data file per bucket (16), or the
+    table must hold at most one data file per bucket, or the
     one-file-per-bucket layout has silently regressed to the 512-file
     shape the r12 A/B measured as 2.7x slower to write (ADVICE r12)."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.changes import (
+        _CDC_N_BUCKETS,
+    )
     from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.sources.sinks import (
         _count_bucket_files,
     )
@@ -666,9 +669,9 @@ def test_cdc_incremental_pre_partitioned_write_one_file_per_bucket(spark):
     assert inc_tables, "cdc_inc_* table not registered"
     for t in inc_tables:
         n = _count_bucket_files(spark, t)
-        assert 0 < n <= 16, (
-            f"{t}: {n} data files for 16 buckets — pre_partitioned layout "
-            "assumption broke"
+        assert 0 < n <= _CDC_N_BUCKETS, (
+            f"{t}: {n} data files for {_CDC_N_BUCKETS} buckets — "
+            "pre_partitioned layout assumption broke"
         )
 
 
