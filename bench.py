@@ -581,6 +581,17 @@ def main() -> None:
                 untimed_construction[name] = round(
                     max(untimed_construction.get(name, 0.0), start - c0), 3
                 )
+            # Shuffle-file hygiene (r13): local-mode shuffle files live
+            # until the ContextCleaner notices their dependency is
+            # unreachable, which only happens on a DRIVER GC — across a
+            # 47-cell sf30 suite (x up to 6 passes each) the orphaned
+            # shuffles accumulated ~50 GB and two legs died with "No
+            # space left on device" MID-SUITE (spill writes, stages
+            # 416/763). One py4j System.gc() after each pass (outside
+            # the timed window — elapsed is already recorded) lets the
+            # cleaner drop the finished pass's files; ~0.1 s, untimed.
+            df = None
+            spark._jvm.System.gc()
             # Budget break only AFTER a second pass: pass 1 carries
             # whole-stage-codegen and parquet-footer warmup (measured 17 s
             # vs 2.8 s steady on many-row-group files at sf10) — recording
