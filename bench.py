@@ -544,6 +544,10 @@ def main() -> None:
     for name in HEADLINE:
         if name in skip:
             continue
+        # Progress + failure attribution (r13): two sf30 legs died
+        # mid-suite with only a stage number to go on — one line per
+        # cell names the suspect immediately.
+        print(f"# cell {name}", file=sys.stderr, flush=True)
         per_pass: list[float] = []
         # Adaptive pass count, applied IDENTICALLY to the DuckDB
         # reference below: 3 passes for compute-dominated cells, up to 6
