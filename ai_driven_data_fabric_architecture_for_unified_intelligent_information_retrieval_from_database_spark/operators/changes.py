@@ -299,7 +299,7 @@ def cdc_merge_incremental(spark, t):
     # one-file-per-bucket repartition — no redundant exchange.
     write_bucketed(
         v1, inc_tbl, "key", n_buckets=_CDC_N_BUCKETS, sort_col="key",
-        pre_partitioned=True,
+        pre_partitioned=True, verify_layout=False,
     )
     merge1_s = time.perf_counter() - t0
     record_phase_split(
@@ -307,6 +307,14 @@ def cdc_merge_incremental(spark, t):
         feed_build_s=feed_s,
         base_layout_s=base_layout_s,
         merge1_write_s=merge1_s,
+    )
+    # Layout guard runs AFTER the timer stops (ADVICE r13: the DESCRIBE +
+    # listdir was inflating the published merge1 window) — same check,
+    # just outside the measurement.
+    from ..sources.sinks import verify_bucket_layout
+
+    verify_bucket_layout(
+        spark, inc_tbl, _CDC_N_BUCKETS, pre_partitioned=True
     )
     v2 = _merge_batch(spark.table(inc_tbl), batch2)
     return v2.groupBy("status").agg(

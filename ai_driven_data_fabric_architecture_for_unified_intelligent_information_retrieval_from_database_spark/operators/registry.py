@@ -46,78 +46,80 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: regardless).  Round-window history lives in README.md ("Correctness window
 #: rotation").
 #:
-#: Round 13 window (r12 verdict task 4). Composition:
-#: 1. the r08 tail FIRST — the six entries whose latest driver check is
-#:    r08 (grouping_rollup, grouping_cube, pivot_status_by_priority,
-#:    set_union_by_name, text_word_frequency, text_token_count); fronting
-#:    them makes "no entry's latest check older than r09" true at the
-#:    r13 check no matter where the ~50 cut lands;
-#: 2. round-13 operator-touched entries not already in the r09 cohort —
-#:    the TPC-H q3/q4/q5 family (audit-refresh round) and
-#:    cdc_merge_incremental (n_buckets knob A/B);
-#: 3. the full r09 cohort (43 entries), graph_pagerank_parts and
-#:    tpch_q8 (also round-13-touched) fronted, the simplest
-#:    locally-verified NL shapes last so a 50-entry cut drops only
-#:    those (they stay r09 — still within the staleness bound).
+#: Round 14 window (r13 verdict task 5). Composition:
+#: 1. the r09 tail FIRST — the three entries whose latest driver check
+#:    is r09 (nl_avg_order_value, nl_count_parts, nl_revenue_by_nation);
+#:    fronting them makes "no entry's latest check older than r10" true
+#:    at the r14 check no matter where the ~50 cut lands;
+#: 2. round-14 operator-touched entries not already in the r10 cohort —
+#:    tpch_q5 (mid-band cap now driver-memory-derived + probe band
+#:    tightened), cdc_merge_incremental (layout guard moved outside the
+#:    timed window), and the basket-explode-spine family under audit
+#:    this round (graph_pagerank_parts, basket_lift_rules,
+#:    bucketed_join_revenue);
+#: 3. the full r10 cohort (45 entries), round-14-audited members
+#:    (sampling_temperature_mix) first, then substantial shapes, the
+#:    simplest locally-verified NL shapes last so a 50-entry cut drops
+#:    only those (they stay r10 — still within the staleness bound).
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # --- the r08 tail (oldest six) ---
-    "grouping_rollup",
-    "grouping_cube",
-    "pivot_status_by_priority",
-    "set_union_by_name",
-    "text_word_frequency",
-    "text_token_count",
-    # --- round-13 operator-touched (not in the r09 cohort) ---
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "cdc_merge_incremental",
-    # --- the r09 cohort (43 entries; round-13-touched members first,
-    # then substantial shapes, simplest NL shapes last) ---
-    "graph_pagerank_parts",
-    "tpch_q8_market_share",
-    "sampling_pack_context_windows",
-    "tpch_q13_customer_distribution",
-    "tpch_q18_large_volume_customers",
-    "events_funnel_conversion",
-    "dedup_exact",
-    "dedup_normalized_groups",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "dedup_cross_source_matrix",
-    "similarity_bucketed_ann",
-    "events_tumbling_window",
-    "events_path_trigrams",
-    "events_user_outliers",
-    "events_retention_cohorts",
-    "streaming_sliding_halfhour",
-    "streaming_user_profile",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_length_histogram",
-    "text_bpe_merge_candidates",
-    "text_bigram_surprisal",
-    "partition_pruned_daily_read",
-    "sampling_stratified_quota",
-    "grouping_sets_explicit",
-    "source_orc_roundtrip",
-    "window_cume_dist_nth",
-    "unpivot_lineitem_measures",
-    "lateral_topn_per_order",
-    "window_ratio_to_report",
-    "multimodal_decode_any",
-    "multimodal_decode_wav_real",
-    "multimodal_decode_y4m_real",
-    "pipeline_datacard_manifest",
-    "project_all",
-    "nl_docs_quality_floor",
-    "nl_docs_duplicates",
-    "nl_docs_avg_tokens",
-    "nl_revenue_by_nation",
+    # --- the r09 tail (oldest three) ---
     "nl_avg_order_value",
     "nl_count_parts",
+    "nl_revenue_by_nation",
+    # --- round-14 operator-touched (not in the r10 cohort) ---
+    "tpch_q5_local_supplier_volume",
+    "cdc_merge_incremental",
+    "graph_pagerank_parts",
+    "basket_lift_rules",
+    "bucketed_join_revenue",
+    # --- the r10 cohort (45 entries; round-14-audited members first,
+    # then substantial shapes, simplest NL shapes last) ---
+    "sampling_temperature_mix",
+    "window_range_interval_trailing",
+    "window_yoy_growth",
+    "window_rank_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "cdc_scd2_intervals",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_minhash_lsh",
+    "dedup_cluster_representatives",
+    "text_decontaminate",
+    "text_pii_scrub",
+    "text_tfidf_top_terms",
+    "streaming_daily_rollup",
+    "join_inner_filtered",
+    "join_left_agg",
+    "join_semi",
+    "join_anti",
+    "agg_count_distinct",
+    "agg_count_star",
+    "agg_distinct",
+    "agg_filtered_count",
+    "agg_group_avg",
+    "agg_min_max_avg",
+    "case_when_bucketing",
+    "filter_between",
+    "filter_date_range",
+    "filter_disjunction",
+    "filter_ilike_lower",
+    "filter_ilike_operator",
+    "filter_not_null_group_count",
+    "filter_threshold_topk",
+    "filter_year_extract",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_multi_col_limit",
+    "topk_global",
+    "scan_project_limit",
+    "project_computed_alias",
+    "scalar_functions",
+    "nl_docs_dedup_survivors",
+    "nl_docs_near_duplicates",
+    "nl_docs_similar_embeddings",
 ]
 
 

@@ -262,6 +262,13 @@ def sampling_pack_shards(spark, t):
     # allocation is pure GC pressure on every executor (r11 verdict
     # task 6; sf10 full-cell A/B 0.95 -> 0.86 s, scan+count 0.43 ->
     # 0.34 s, the bare text-column scan floor).
+    # NULL semantics PINNED (ADVICE r13): the expression NULL-propagates
+    # (length(NULL)=NULL), which matches the DuckDB oracle's
+    # LEN(STRING_SPLIT(NULL,' '))=NULL exactly, and SUM skips NULLs on
+    # both engines — so a NULL text row yields identical results either
+    # way (differentially asserted in tests/test_scale_ops.py). The one
+    # form this must NEVER be compared against is Spark's legacy
+    # sizeOfNull=-1, which this repo does not use.
     sized = t["documents"].select(
         "doc_id",
         (
@@ -352,7 +359,10 @@ def sampling_pack_context_windows(spark, t):
     # exact rewrite sampling_pack_shards shipped in r12 (value-identical
     # on space-separated text: separators+1 = split size). r13 A/B
     # (tools/straggler_ab_r13.py, sf10 min-of-3, full cell, rows asserted
-    # identical): 0.815 -> 0.653 s.
+    # identical): 0.815 -> 0.653 s. NULL semantics pinned as in
+    # sampling_pack_shards (ADVICE r13): NULL-propagating, identical to
+    # the oracle's LEN(STRING_SPLIT(NULL)) — see the note there and the
+    # differential NULL-row test in tests/test_scale_ops.py.
     n_tok = (
         F.length("text")
         - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))

@@ -242,7 +242,8 @@ def tpch_q5(spark, t):
             "rev_micro"
         ),
     )
-    fits, n_slice = _q5_orders_slice_probe(spark, o_win, oc)
+    suppfirst_cap = _q5_suppfirst_row_cap(spark)
+    fits, n_slice = _q5_orders_slice_probe(spark, o_win, oc, suppfirst_cap)
     if fits:
         j = lx.join(F.broadcast(oc), lx.l_orderkey == oc.o_orderkey)
         j = j.join(
@@ -250,7 +251,7 @@ def tpch_q5(spark, t):
             (j.l_suppkey == s_asia.s_suppkey)
             & (F.col("c_nationkey") == s_asia.s_nationkey),
         )
-    elif n_slice is not None and n_slice <= _Q5_SUPPFIRST_ROW_CAP:
+    elif n_slice is not None and n_slice <= suppfirst_cap:
         # Mid band (r13, sf30 audit): the slice outgrew the tight
         # orders-first gate, but a SUPPLIER-FIRST broadcast still beats
         # the shuffle form — the tiny ASIA-supplier probe cuts lineitem
@@ -287,20 +288,54 @@ def tpch_q5(spark, t):
     ).select("n_name", (F.col("rev_micro_total") / F.lit(1e6)).alias("revenue"))
 
 
-#: Row cap on Q5's mid-band supplier-first broadcast of the qualifying
+#: Ceiling on Q5's mid-band supplier-first broadcast of the qualifying
 #: orders slice. This deliberately exceeds _BCAST_BUILD_ROW_CAP: here the
 #: multi-M-row single-threaded build buys out the FACT-GRAIN EXCHANGE of
 #: the shuffle form (33M pre-aggregated rows at sf30), a far bigger
 #: prize than the dim exchange the general cap was calibrated against
 #: (Q22's anti build). Measured: 2.8M-row build wins by 24% at sf30.
 #: 12M rows (~190 MB hash relation) keeps ~2x headroom over the sf60
-#: slice; the constant is single-node-measured — on a many-executor
+#: slice; the ceiling is single-node-measured — on a many-executor
 #: cluster the broadcast fan-out cost grows with cluster size, so a
-#: deployment at that scale re-tunes or relies on the shuffle branch.
+#: deployment at that scale re-tunes (env below) or relies on the
+#: shuffle branch.
 _Q5_SUPPFIRST_ROW_CAP = 12_000_000
 
+#: Bytes of DRIVER memory per broadcast-build row the mid band budgets:
+#: 16 B of packed payload (two longs) x ~40 for the JVM hash-relation
+#: object overhead plus safety headroom, so the relation stays a low
+#: single-digit percent of the driver heap. 8g driver -> 13.4M rows
+#: (the 12M ceiling binds, the repo default); 2g -> 3.3M; 1g -> 1.6M.
+_Q5_SUPPFIRST_BYTES_PER_ROW = 640
 
-def _q5_orders_slice_probe(spark, o_win, oc) -> tuple[bool, int | None]:
+
+def _q5_suppfirst_row_cap(spark) -> int:
+    """Effective mid-band row cap (ADVICE r13): derived from the driver
+    heap so a small-driver deployment never trades the safe shuffle path
+    for a driver-OOM broadcast; `SPARK_GRAFT_Q5_SUPPFIRST_ROW_CAP`
+    overrides for re-tuned deployments (and for the suite test that
+    forces the branch at test scale)."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_Q5_SUPPFIRST_ROW_CAP")
+    if env:
+        return int(env)
+    mem = _parse_jvm_mem(spark.conf.get("spark.driver.memory", "1g"))
+    return min(_Q5_SUPPFIRST_ROW_CAP, mem // _Q5_SUPPFIRST_BYTES_PER_ROW)
+
+
+def _parse_jvm_mem(s: str) -> int:
+    """JVM memory string ('8g', '512m', '1024k', plain bytes) -> bytes."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _q5_orders_slice_probe(
+    spark, o_win, oc, suppfirst_cap: int
+) -> tuple[bool, int | None]:
     """Broadcast-fitness probe for Q5's qualifying ASIA-orders slice:
     returns ``(fits_tight_gate, counted_rows_or_None)`` so the caller can
     cost the mid-band supplier-first form off the same counted probe
@@ -328,10 +363,16 @@ def _q5_orders_slice_probe(spark, o_win, oc) -> tuple[bool, int | None]:
     n_regions = 5  # the corpus's region count; the ASIA cut keeps ~1/5
     # The probe band is widened past the tight gate's by the suppfirst
     # cap's row budget (16 B/row, two long columns) so the mid-band
-    # decision is also count-settled rather than estimate-guessed.
+    # decision is also count-settled rather than estimate-guessed. The
+    # row-budget term carries NO _PROBE_SLACK (ADVICE r13): the 16 B/row
+    # budget already understates the ~19 B/row footer rate, so the term
+    # has built-in slack — with the x8 factor the band reached ~7.7 GB
+    # of o_win estimate and the counted probe (a real orders x customer
+    # count job) ran for slices that could never pass the cap, pure
+    # overhead before falling to the shuffle branch.
     band_cap = max(
         _PROBE_SLACK * n_regions * thr,
-        _PROBE_SLACK * n_regions * _Q5_SUPPFIRST_ROW_CAP * 16,
+        n_regions * suppfirst_cap * 16,
     )
     if est > band_cap:
         return False, None

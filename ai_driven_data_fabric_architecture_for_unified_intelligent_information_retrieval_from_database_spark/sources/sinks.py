@@ -40,6 +40,7 @@ def write_bucketed(
     sort_col: str | None = None,
     mode: str = "overwrite",
     pre_partitioned: bool = False,
+    verify_layout: bool = True,
 ) -> None:
     """Persist as a bucketed (and optionally sorted) managed table.
 
@@ -73,9 +74,27 @@ def write_bucketed(
     # Catalyst reports a full-outer SMJ's outputPartitioning as Unknown,
     # so an upstream plan change (AQE coalesce, join-strategy shift) could
     # silently regress to many files per bucket with no correctness
-    # symptom. Count the data files post-write and warn loudly; callers'
-    # tests assert on this too (tests/test_plans.py).
-    n_files = _count_bucket_files(df.sparkSession, table)
+    # symptom. Only meaningful for overwrite: an append legitimately adds
+    # files on top of an existing layout, so the count would warn
+    # spuriously (ADVICE r13). Callers whose write sits inside a timed
+    # measurement window pass verify_layout=False and invoke
+    # :func:`verify_bucket_layout` themselves after the timer stops —
+    # the guard always runs, just never inside a published timing.
+    if verify_layout and mode == "overwrite":
+        verify_bucket_layout(
+            df.sparkSession, table, n_buckets, pre_partitioned=pre_partitioned
+        )
+
+
+def verify_bucket_layout(
+    spark: SparkSession,
+    table: str,
+    n_buckets: int,
+    pre_partitioned: bool = False,
+) -> int:
+    """Post-write one-file-per-bucket check (warns loudly on regression);
+    returns the file count so tests can assert on it directly."""
+    n_files = _count_bucket_files(spark, table)
     if n_files > n_buckets:
         import warnings
 
@@ -87,6 +106,7 @@ def write_bucketed(
             RuntimeWarning,
             stacklevel=2,
         )
+    return n_files
 
 
 def _count_bucket_files(spark: SparkSession, table: str) -> int:
@@ -104,7 +124,18 @@ def _count_bucket_files(spark: SparkSession, table: str) -> int:
             1 for f in os.listdir(loc)
             if f.startswith("part-") and not f.endswith(".crc")
         )
-    except OSError:
+    except OSError as exc:
+        # Non-local filesystems (hdfs://, s3a://) have no listable local
+        # path — report 0 (guard never fires) but say so instead of
+        # silently disarming (ADVICE r13).
+        import warnings
+
+        warnings.warn(
+            f"_count_bucket_files({table!r}): cannot list {loc!r} "
+            f"({exc}); layout guard skipped",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return 0
 
 

@@ -185,6 +185,35 @@ ASYMMETRIC_CELLS = {
 }
 
 
+#: Post-pass GC nudge (r13 disk-survival fix), now SCALE-CONDITIONAL
+#: (r14): the nudge keeps ~50 GB of orphaned local-mode shuffle files
+#: off the disk at sf30/sf60 — but a full driver GC after EVERY pass
+#: costs a uniform ~15% on every sub-second cell (the r14 sf0.1
+#: tripwire audit: idle symmetric 3.85/3.90 nudged vs 3.33 un-nudged,
+#: leg wall 4:03 vs 3:11; a 0.3 s post-GC settle did NOT rescue it —
+#: the cost is the GC itself trashing JIT/cache state, not only the
+#: ContextCleaner's async unlinks). At sf0.1 the per-pass shuffle
+#: residue is kilobytes, so the nudge buys nothing there. "auto"
+#: enables it only when the source corpus exceeds 1 GiB (sf10 and up —
+#: where the disk-survival problem actually exists); "1"/"0" force.
+_GC_NUDGE_ENV = os.environ.get("SPARK_GRAFT_GC_NUDGE", "auto")
+GC_NUDGE_MIN_CORPUS_BYTES = 1 << 30
+
+
+def _gc_nudge_enabled(sf_dir: str) -> bool:
+    if _GC_NUDGE_ENV in ("0", "1"):
+        return _GC_NUDGE_ENV == "1"
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+        if total >= GC_NUDGE_MIN_CORPUS_BYTES:
+            return True
+    return total >= GC_NUDGE_MIN_CORPUS_BYTES
+
 #: Files per re-chunked table — one scan task per file, every table.
 #: Overridable for paired layout experiments (the rechunk output dir is
 #: keyed on the count, so switching never serves a stale layout).
@@ -324,6 +353,8 @@ def main() -> None:
     # the engine (observed 10x swings on an evicted cache). One sequential
     # read per file; both engines benefit identically.
     _warm_page_cache(sf_dir)
+    gc_nudge = _gc_nudge_enabled(sf_dir)
+    print(f"# gc_nudge={'on' if gc_nudge else 'off'}", file=sys.stderr)
     # Local-bench-only tuning: the re-chunked layout is N_BENCH_FILES
     # files per table, and the scan should run exactly one task per file —
     # openCostInBytes = maxPartitionBytes (both larger than any part file)
@@ -594,8 +625,13 @@ def main() -> None:
             # 416/763). One py4j System.gc() after each pass (outside
             # the timed window — elapsed is already recorded) lets the
             # cleaner drop the finished pass's files; ~0.1 s, untimed.
+            # Scale-conditional since r14 (see _gc_nudge_enabled: at
+            # sf0.1 the per-pass GC cost a uniform ~15% on every cell
+            # and FIRED the symmetric tripwire; at sf0.1-scale corpora
+            # the shuffle residue it cleans is kilobytes).
             df = None
-            spark._jvm.System.gc()
+            if gc_nudge:
+                spark._jvm.System.gc()
             # Budget break only AFTER a second pass: pass 1 carries
             # whole-stage-codegen and parquet-footer warmup (measured 17 s
             # vs 2.8 s steady on many-row-group files at sf10) — recording
@@ -755,6 +791,10 @@ def main() -> None:
         "wide_sums_grains": wide_sums_grains,
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        # Whether the post-pass GC nudge ran (r14: scale-conditional — a
+        # per-pass full GC costs a uniform ~15% on sub-second cells, so
+        # legs with and without it are not directly comparable).
+        "gc_nudge": gc_nudge,
         # Machine-readable floor analysis (BASELINE.md r07 item): cells
         # under 0.4 s measure Spark's fixed per-job scheduling floor
         # (~0.1-0.3 s in local mode), not plan quality — their aggregate

@@ -216,6 +216,72 @@ def test_q5_two_forms(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_q5_mid_band_suppfirst(spark, monkeypatch):
+    """Q5's r13 mid band (supplier-first broadcast, tpch.py) only activates
+    between the tight orders-first gate and the suppfirst row cap —
+    unreachable at test scale under default confs, so this test FORCES the
+    band through the real decision logic (r13 verdict task 4): a tiny but
+    positive broadcast threshold makes the tight estimate gate fail and
+    the counted probe's n*16 <= thr check fail, while the env-pinned row
+    cap admits the mid band. Asserts the branch-defining plan shape (the
+    join directly over lineitem is a BroadcastHashJoin on l_suppkey — the
+    ASIA-supplier probe cuts the fact FIRST; the big orders slice arrives
+    as the SECOND broadcast, keyed (l_orderkey, s_nationkey); no exchange
+    ever partitions on l_orderkey) and value-equality with the shuffle
+    form."""
+    import re
+
+    monkeypatch.setenv("SPARK_GRAFT_Q5_SUPPFIRST_ROW_CAP", "12000000")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        df_mid = queries()["tpch_q5_local_supplier_volume"](spark, SF_ORACLE)
+        plan = df_mid._sc._jvm.PythonSQLUtils.explainString(
+            df_mid._jdf.queryExecution(), "formatted"
+        )
+        # Branch proof 1: a BroadcastHashJoin block keyed l_suppkey =
+        # s_suppkey (the supplier probe hits the fact first). The tight
+        # band's first fact join is keyed l_orderkey instead.
+        blocks = re.split(r"\n(?=\(\d+\) )", plan)
+        bhj = [b for b in blocks if b.startswith("(") and "BroadcastHashJoin" in b.splitlines()[0]]
+        supp_first = [
+            b for b in bhj
+            if re.search(r"Left keys \[1\]: \[l_suppkey", b)
+            and re.search(r"Right keys \[1\]: \[s_suppkey", b)
+        ]
+        assert supp_first, plan[:3000]
+        # Branch proof 2: the orders slice arrives as the compound-keyed
+        # SECOND broadcast — (l_orderkey, s_nationkey) on the probe side.
+        # Unique to the mid band: the tight band keys (l_suppkey,
+        # c_nationkey) there, the shuffle band joins this pair without a
+        # broadcast.
+        compound = [
+            b for b in bhj
+            if "l_orderkey" in b and "s_nationkey" in b
+        ]
+        assert compound, plan[:3000]
+        # Branch proof 3: no fact-grain exchange — nothing repartitions
+        # on l_orderkey anywhere in the mid-band plan (the shuffle form's
+        # pre-aggregate plants exactly that exchange).
+        assert "hashpartitioning(l_orderkey" not in plan, plan[:3000]
+        got = sorted(
+            (r.n_name, round(r.revenue, 4)) for r in df_mid.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # Shuffle form for the value cross-check: thr <= 0 skips every probe.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df_shuf = queries()["tpch_q5_local_supplier_volume"](spark, SF_ORACLE)
+        want = sorted(
+            (r.n_name, round(r.revenue, 4)) for r in df_shuf.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want, (got, want)
+
+
 def test_q22_not_exists_is_anti_join_with_broadcast_scalar(spark):
     plan = plan_of(spark, "tpch_q22_global_sales_opportunity")
     assert "LeftAnti" in plan, plan[:2000]

@@ -297,3 +297,50 @@ def test_embedding_quantize_error_bounded(spark):
     for r in rows:
         bound_units = 64 * (r.qscale / 2) ** 2 * 1e12
         assert 0 <= r.sqerr_units <= bound_units + 64, r
+
+
+def test_token_count_null_semantics_match_oracle(spark):
+    """ADVICE r13 pin: the length-difference token count NULL-propagates,
+    which must match the DuckDB oracle form LEN(STRING_SPLIT(text, ' '))
+    row-for-row INCLUDING a NULL text row (both NULL, both skipped by
+    SUM). Guards against anyone 'fixing' either side to legacy
+    sizeOfNull=-1 or coalesce-to-zero semantics unilaterally."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [("a b  c",), ("", ), ("single",), (None,), ("x y",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        r.n
+        for r in df.select(
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            )
+            .cast("long")
+            .alias("n")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) "
+            "FROM (VALUES ('a b  c'), (''), ('single'), (NULL), ('x y')) "
+            "AS t(text)"
+        ).fetchall()
+    ]
+    assert got == want, (got, want)
+    assert got[3] is None  # the NULL row stays NULL on both engines
+    # and SUM skips it identically
+    s = df.select(
+        F.sum(
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).cast("long")
+        ).alias("s")
+    ).first()["s"]
+    assert s == sum(v for v in want if v is not None)
