@@ -134,6 +134,23 @@ def graph_pagerank_parts(spark, t):
     1.30/1.48/1.33 vs DuckDB (not the 2.5x the legs suggested; DuckDB
     itself spans 47-85 s on this cell across observations).
 
+    Round-14 note — the sf60 edge-build "residual" decomposed and
+    bounded (tools/basket_explode_ab_r14.py, sf30+sf60 interleaved
+    min-of-3, five candidate forms value-asserted to the identical
+    edge set): at sf60 the order-grain basket exchange alone is
+    17.6 s, the packed-pair HOF explode adds +8.4 s (26.0 cumulative),
+    and the support-rollup exchange+count adds +36.6 s — the shipped
+    form's 62.6 s total is the BEST of every candidate (JVM hash
+    groupBy at the data-scaled partition count 65.4 s — it wins 10% at
+    sf30 but loses at sf60 and gives up the out-of-JVM memory-safety
+    argument, so it stays rejected; co-partitioned self-join pair
+    generation 68.3 s; half/double partition counts 77.9/67.8 s — the
+    ~3 M-pairs/task rule is the measured optimum). So the explode is
+    NOT the floor — the rollup exchange is, and nothing measured beats
+    the shipped shape. The r13 sf60 leg's 125.4 s edge-build reading
+    was ~2x this same-minute minimum: leg load inflation, the
+    cdc_merge_incremental story again.
+
     Round-7 shape (r06 verdict items all addressed; fresh same-session
     sf10 decomposition in tools/pagerank_ab2.py: edge build 9.6-10.7 s,
     iteration 3.0 s, DuckDB oracle 7.8 s under identical host state —

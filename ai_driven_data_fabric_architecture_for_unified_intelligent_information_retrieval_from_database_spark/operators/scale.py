@@ -737,6 +737,23 @@ def prepare_table_location(spark, table: str, family_prefix: str) -> None:
                 shutil.rmtree(full, ignore_errors=True)
 
 
+#: Bucket count for the recurring-join layout (r14). The r13 sf30
+#: leg's 5.09x reading reproduced same-minute at idle (5.45x) — NOT
+#: load skew: the cell still built its layout with the 16-bucket
+#: default, i.e. 16 scan/join tasks starving a 32-core host (the same
+#: under-parallelism the r13 CDC n_buckets A/B demonstrated on the
+#: write side). Unlike the CDC cells (which pay a durable WRITE per
+#: merge — there the write-slot rule picks 32), this cell writes once
+#: untimed and READS forever, so finer waves win: same-minute sf30 A/B
+#: (tools/bjr_nbuckets_ab_r14.py, values identical, one file per
+#: bucket asserted) 16: 1.58 s, 32: 0.98 s, 64: 0.82 s vs DuckDB
+#: 0.405 s — 2x the host's cores balances the merge-read's stragglers.
+#: At 100 TB the bucket count is a corpus-layout knob sized to target
+#: per-bucket file size; the 2x-read-slots rule transfers, the
+#: constant does not.
+_BJR_N_BUCKETS = 64
+
+
 @query(
     "bucketed_join_revenue",
     oracle=f"""
@@ -754,7 +771,8 @@ def bucketed_join_revenue(spark, t):
     tables BUCKETED on the join key — the write-once/join-free-forever
     layout for a fact table that is joined on the same key every day.
 
-    Both sides are persisted with `write_bucketed` (16 buckets on custkey,
+    Both sides are persisted with `write_bucketed` (_BJR_N_BUCKETS
+    buckets on custkey — 2x the host's read slots, see the constant,
     sorted within buckets), so the sort-merge join needs neither exchange
     nor sort: at 100 TB this converts every recurring custkey join from a
     full fact shuffle into a file-aligned merge. The `merge` hint keeps the
@@ -779,7 +797,9 @@ def bucketed_join_revenue(spark, t):
     digest = _corpus_digest(orders, cust)
 
     def ensure(table, df, key):
-        ensure_bucketed_table(spark, table, df, key, digest)
+        ensure_bucketed_table(
+            spark, table, df, key, digest, n_buckets=_BJR_N_BUCKETS
+        )
 
     tok = _session_token()
     to, tc = f"bk_orders_{digest}_{tok}", f"bk_customer_{digest}_{tok}"
@@ -928,6 +948,20 @@ def sampling_temperature_mix(spark, t):
     probabilities). Which documents fill a quota is content-addressed
     (md5-of-id rank, same contract as sampling_stratified_quota):
     re-runs and corpus appends keep picks stable.
+
+    r14 audit (tools/straggler_ab_r14.py, sf30 same-minute interleaved
+    min-of-3, forms value-asserted identical): shipped 0.809 s, of
+    which the BARE per-source (md5, doc_id) rank window — no quota
+    join, no filter — is 0.777 s (96% of the cell); DuckDB runs the
+    whole query in 0.161 s. A prefilter candidate (16x-margin uniform
+    md5-prefix cut before the window, survivor-coverage asserted, so
+    the sort sees ~quota-sized input) measured 0.861 s — SLOWER: the
+    binding term is the scan + md5 evaluation + the exchange itself,
+    not the sort volume, so shrinking the sort buys nothing. Floor
+    adjudication: the one mandatory per-source rank exchange alone
+    exceeds DuckDB's whole query ~5x at sf30 — the executor-model
+    family (events_markov_transitions precedent); the shipped form is
+    the best measured and nothing structural remains.
 
     Cross-engine exactness: the quota arithmetic is SQRT (IEEE
     correctly-rounded in both engines) times 2 (a power of two — the

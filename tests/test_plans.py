@@ -515,8 +515,12 @@ def test_stratified_quota_windows_by_stratum(spark):
 def test_bucketed_join_pays_no_join_exchange(spark):
     """The bucketed fact-dim join must be a SortMergeJoin with NO exchange
     below it — the shuffle was paid once at write time (both scans read
-    all 16 buckets as pre-partitioned input); the only exchange in the
+    all buckets as pre-partitioned input); the only exchange in the
     whole plan is the final tiny segment rollup ABOVE the join."""
+    from ai_driven_data_fabric_architecture_for_unified_intelligent_information_retrieval_from_database_spark.operators.scale import (
+        _BJR_N_BUCKETS,
+    )
+
     plan = plan_of(spark, "bucketed_join_revenue")
     # the indented tree is everything before the first "(1) ..." detail
     tree = plan.split("\n(1)", 1)[0].splitlines()
@@ -533,7 +537,9 @@ def test_bucketed_join_pays_no_join_exchange(spark):
     assert join_depth is not None, plan[:3000]
     assert below_join and not any("Exchange" in n for n in below_join), tree
     assert sum("Exchange" in l for l in tree) == 1, tree
-    assert plan.count("SelectedBucketsCount: 16 out of 16") == 2, plan[:3000]
+    assert plan.count(
+        f"SelectedBucketsCount: {_BJR_N_BUCKETS} out of {_BJR_N_BUCKETS}"
+    ) == 2, plan[:3000]
 
 
 def test_broadcast_gate_row_cap(spark):

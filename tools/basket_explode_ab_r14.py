@@ -72,14 +72,19 @@ def main():
             "spark.sql.files.openCostInBytes": str(256 * 1024 * 1024),
             "spark.sql.shuffle.partitions": str(n_cpu),
             "spark.sql.adaptive.enabled": "true",
+            # bench parity: the suite runs at 24g; the 8g default OOM'd
+            # mid-timing at sf30 (3x Java heap space).
+            "spark.driver.memory": "24g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    li = li.select("l_orderkey", "l_partkey")
+    li_full = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = li_full.select("l_orderkey", "l_partkey")
     li.count()
 
-    est = plan_size_estimate(li)
+    # Estimate on the FULL table, exactly as graph.py's shipped rule does
+    # (the pruned 2-column estimate would halve n_roll vs production).
+    est = plan_size_estimate(li_full)
     n_roll = max(n_cpu, min(1024, est // (28 << 20)))
     print(f"# lineitem estimate {est >> 20} MB, n_roll {n_roll}")
 
@@ -130,9 +135,10 @@ def main():
         )
 
     def checksum(df):
+        # order-independent; modulo keeps the long sum ANSI-safe
         r = df.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64(F.col("pk"))).alias("h"),
+            F.sum(F.xxhash64(F.col("pk")) % 1_000_000_007).alias("h"),
         ).first()
         return (r["n"], r["h"])
 
@@ -159,7 +165,8 @@ def main():
         except Exception as exc:
             sigs[name] = f"ERR {type(exc).__name__}"
     ref = sigs["shipped"]
-    print("# edge-set signatures:", sigs)
+    print("# edge-set signatures:", sigs, flush=True)
+    assert not str(ref).startswith("ERR"), f"shipped form errored: {ref}"
     bad = {k: v for k, v in sigs.items() if v != ref and not str(v).startswith("ERR")}
     assert not bad, f"forms disagree with shipped: {bad}"
 
