@@ -839,7 +839,15 @@ def basket_lift_rules(spark, t):
     the broadcast budget the hint comes off and this becomes a shuffle
     join keyed on the pruned pairs — still far below fact scale); the
     order total arrives as a broadcast scalar; top-20 is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    r14: a pagerank-style eager basket checkpoint (which would have
+    given this cell a free phase_split_s) was A/B'd and REJECTED —
+    +19% at sf30 (66.0 -> 78.8 s, tools/basket_ckpt_ab_r14.py, top-20
+    asserted identical): materializing the fact-grain basket arrays
+    costs more than the ReusedExchange reads it replaces. The cell's
+    cost decomposition lives in the r14 spine audit instead
+    (BASELINE.md round 14 item 4)."""
     from .graph import copurchase_pair_counts, order_baskets
 
     baskets = order_baskets(t["lineitem"])
