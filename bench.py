@@ -834,10 +834,16 @@ FINAL_LINE_BUDGET = 1800
 
 
 def final_line(evidence: dict, common: list[str], evidence_path) -> str:
-    """The compact, LENGTH-GUARDED driver-facing record: drop precision,
-    then the queries dict, before ever exceeding the tail budget. Pure
-    function of the evidence blob so the guard is unit-testable
-    (tests/test_entry.py pins it against a 200-cell suite)."""
+    """The compact, LENGTH-GUARDED driver-facing record. The driver parses
+    ``queries`` as a FLAT name->sec dict, so it must stay flat in EVERY
+    degradation path (the r14 `_truncated_worst_first` nesting made the
+    driver record per_query={} and a null geomean for two rounds — r14
+    verdict item 1). Degradation order before exceeding the tail budget:
+    drop per-query precision, then collapse the asymmetric-cells list to a
+    count, then truncate the flat dict worst-first with a SIBLING
+    ``queries_truncated`` flag — never by nesting. Pure function of the
+    evidence blob so the guard is unit-testable (tests/test_entry.py pins
+    it against a 200-cell suite)."""
     timings = evidence["queries"]
     compact = {
         "metric": evidence["metric"],
@@ -860,20 +866,31 @@ def final_line(evidence: dict, common: list[str], evidence_path) -> str:
         compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(compact)
     if len(line) > FINAL_LINE_BUDGET:
+        # The full cell names are what the driver pairs on, so shed the
+        # asymmetric-cells name list (still in the evidence file and in
+        # ASYMMETRIC_CELLS) before shedding any per-query entry.
+        compact["n_asymmetric_excluded"] = len(compact.pop(
+            "asymmetric_excluded"
+        ))
+        line = json.dumps(compact)
+    if len(line) > FINAL_LINE_BUDGET:
         # Keep as many of the SLOWEST cells as fit (the ones a grader acts
-        # on) instead of dropping the whole dict to a file pointer: at 47
-        # cells even the rounded dict outgrew the tail budget, and the
-        # pointer-only form made the driver artifact carry zero per-query
-        # data (the full set is still in the evidence file when its write
-        # succeeded; ADVICE r08 flagged the evidence_path=None corner).
+        # on) instead of dropping the whole dict to a file pointer — but
+        # keep the dict FLAT and signal truncation with sibling keys, so
+        # the driver's name->sec parse always works (the full set is still
+        # in the evidence file when its write succeeded; ADVICE r08
+        # flagged the evidence_path=None corner).
+        compact["queries_truncated"] = True
+        compact["n_cells_omitted"] = 0
         worst = sorted(timings.items(), key=lambda kv: -kv[1])
         kept: dict = {}
-        for k, v in worst:
+        for i, (k, v) in enumerate(worst):
             kept[k] = round(v, 2)
-            compact["queries"] = {"_truncated_worst_first": kept}
+            compact["queries"] = kept
+            compact["n_cells_omitted"] = len(worst) - i - 1
             if len(json.dumps(compact)) > FINAL_LINE_BUDGET:
                 kept.pop(k)
-                compact["queries"] = {"_truncated_worst_first": kept}
+                compact["n_cells_omitted"] = len(worst) - i
                 break
         line = json.dumps(compact)
     return line
