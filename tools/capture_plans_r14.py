@@ -11,9 +11,15 @@ the judge can diff plan shapes without running Spark:
         --out-dir /root/repo/plans/r14 --suffix after \
         bucketed_join_revenue tpch_q5_local_supplier_volume
 
-Session conf mirrors bench.py's small-scale regime (shuffle.partitions=8,
-AQE off, 64 MB broadcast cap) so the captured shapes are the shapes the
-sf0.1 bench actually runs. Queries whose construction performs eager work
+Session conf: shuffle.partitions=8 and AQE off match bench.py's
+small-scale regime, but the 64 MB broadcast cap below does NOT — bench.py
+at sf0.1 derives min(max(largest_file // 16, 10 MB), 64 MB) = 10 MB
+(largest sf0.1 file is lineitem at ~10.8 MB), so a relation estimated
+between 10 and 64 MB would broadcast in plans captured here but shuffle
+in the actual bench (r15 ADVICE fix; the four committed r14 plans are
+unaffected — every broadcast side in them is well under 10 MB). Use
+tools/capture_plans_r15.py, which derives the threshold the way bench.py
+does, for new captures. Queries whose construction performs eager work
 (bucketed writes, streaming drains) execute that work untimed here —
 identical to what bench.py does at plan-construction time.
 """
