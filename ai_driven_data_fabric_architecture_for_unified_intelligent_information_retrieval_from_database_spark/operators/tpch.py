@@ -263,11 +263,29 @@ def tpch_q5(spark, t):
         # shuffle 10.08 s vs forced-shuffle 10.64 s; at sf10 the tight
         # gate still holds and orders-first still wins (1.28 vs 2.11 —
         # the r09 ordering stands inside its band).
+        #
+        # The oc probe is a PACKED-LONG LEFT SEMI join (r15, §3.1): the
+        # compound key (l_orderkey, s_nationkey) == (o_orderkey,
+        # c_nationkey) builds a generic UnsafeHashedRelation; packing
+        # both into ONE long — orderkey * 32 + nationkey, injective
+        # because nationkey < 25 in this corpus's fixed 25-nation
+        # dimension — lets Spark build a LongHashedRelation (dense
+        # long-keyed, its fastest build+probe), and since no oc column
+        # survives the join (oc is unique per orderkey, so inner ==
+        # semi in multiplicity, and the rollup groups on the supplier
+        # side's s_nationkey) the probe is a payload-free semi.
+        # sf30 interleaved min-of-3 (tools/q5_ab_r15.py): packed semi
+        # 3.71 s vs compound inner 6.93 s (-46%), packed inner 3.85 s,
+        # forced shuffle 10.21 s; suppfloor 1.37 s, DuckDB 1.89 s —
+        # the compound-key relation WAS the band's dominant cost.
         j = lx.join(F.broadcast(s_asia), lx.l_suppkey == s_asia.s_suppkey)
+        oc_packed = oc.select(
+            (F.col("o_orderkey") * 32 + F.col("c_nationkey")).alias("ock")
+        )
         j = j.join(
-            F.broadcast(oc),
-            (j.l_orderkey == oc.o_orderkey)
-            & (F.col("s_nationkey") == oc.c_nationkey),
+            F.broadcast(oc_packed),
+            (j.l_orderkey * 32 + F.col("s_nationkey")) == oc_packed.ock,
+            "left_semi",
         )
     else:
         pre = (

@@ -226,7 +226,8 @@ def test_q5_mid_band_suppfirst(spark, monkeypatch):
     cap admits the mid band. Asserts the branch-defining plan shape (the
     join directly over lineitem is a BroadcastHashJoin on l_suppkey — the
     ASIA-supplier probe cuts the fact FIRST; the big orders slice arrives
-    as the SECOND broadcast, keyed (l_orderkey, s_nationkey); no exchange
+    as the SECOND broadcast, a PACKED-LONG LEFT SEMI keyed
+    orderkey*32+nationkey — the r15 LongHashedRelation form; no exchange
     ever partitions on l_orderkey) and value-equality with the shuffle
     form."""
     import re
@@ -250,16 +251,22 @@ def test_q5_mid_band_suppfirst(spark, monkeypatch):
             and re.search(r"Right keys \[1\]: \[s_suppkey", b)
         ]
         assert supp_first, plan[:3000]
-        # Branch proof 2: the orders slice arrives as the compound-keyed
-        # SECOND broadcast — (l_orderkey, s_nationkey) on the probe side.
-        # Unique to the mid band: the tight band keys (l_suppkey,
-        # c_nationkey) there, the shuffle band joins this pair without a
-        # broadcast.
-        compound = [
+        # Branch proof 2: the orders slice arrives as the SECOND
+        # broadcast — a LEFT SEMI BroadcastHashJoin on the packed single
+        # long key ((l_orderkey * 32) + s_nationkey) == ock (r15: the
+        # packed key builds a LongHashedRelation instead of the generic
+        # compound-key UnsafeHashedRelation — sf30 A/B 6.93 -> 3.71 s).
+        # Unique to the mid band: the tight band keys the fact join on
+        # l_orderkey alone, the shuffle band joins the compound pair
+        # without a broadcast.
+        packed_semi = [
             b for b in bhj
-            if "l_orderkey" in b and "s_nationkey" in b
+            if "Join type: LeftSemi" in b
+            and "l_orderkey" in b and "s_nationkey" in b
+            and re.search(r"Left keys \[1\]:", b)
+            and "ock" in b
         ]
-        assert compound, plan[:3000]
+        assert packed_semi, plan[:3000]
         # Branch proof 3: no fact-grain exchange — nothing repartitions
         # on l_orderkey anywhere in the mid-band plan (the shuffle form's
         # pre-aggregate plants exactly that exchange).
