@@ -243,33 +243,7 @@ def cdc_merge_incremental(spark, t):
     # recorded per phase and emitted by bench.py as phase_split_s.
     t0 = time.perf_counter()
     batch1 = _changes_batch1(o).localCheckpoint()
-    batch2 = (
-        o.where(F.col("o_orderkey") % 10 == 5)
-        .select(
-            F.col("o_orderkey").alias("key"),
-            F.lit("U").alias("op"),
-            (F.col("o_totalprice") + 50.0).alias("price"),
-            F.lit("V").alias("status"),
-        )
-        .unionAll(
-            o.where(F.col("o_orderkey") % 10 == 3).select(
-                F.col("o_orderkey").alias("key"),
-                F.lit("D").alias("op"),
-                F.lit(None).cast("double").alias("price"),
-                F.lit(None).cast("string").alias("status"),
-            )
-        )
-        .unionAll(
-            o.where(F.col("o_orderkey") % 20 == 1)
-            .crossJoin(F.broadcast(_key_max(o)))
-            .select(
-                (F.col("o_orderkey") + F.col("kmx")).alias("key"),
-                F.lit("U").alias("op"),
-                (F.col("o_totalprice") * 2).alias("price"),
-                F.lit("M").alias("status"),
-            )
-        )
-    ).localCheckpoint()
+    batch2 = _changes_batch2(o).localCheckpoint()
     feed_s = time.perf_counter() - t0
 
     digest = _corpus_digest(o)
@@ -504,30 +478,62 @@ def _key_max(o):
 
 def _changes_batch1(o):
     """The :data:`_CHANGES_SQL` feed as a DataFrame (shared with
-    :func:`cdc_merge_apply`)."""
-    upd = o.where(F.col("o_orderkey") % 10 == 3).select(
-        F.col("o_orderkey").alias("key"),
-        F.lit("U").alias("op"),
-        (F.col("o_totalprice") + 100.0).alias("price"),
-        F.lit("U").alias("status"),
-    )
-    dele = o.where(F.col("o_orderkey") % 10 == 7).select(
-        F.col("o_orderkey").alias("key"),
-        F.lit("D").alias("op"),
-        F.lit(None).cast("double").alias("price"),
-        F.lit(None).cast("string").alias("status"),
-    )
-    ins = (
-        o.where(F.col("o_orderkey") % 10 == 1)
+    :func:`cdc_merge_apply`).
+
+    Single-scan CASE form (r15, guide §2.3 "do fewer passes"): the
+    pre-r15 three-branch union scanned orders once per branch, so the
+    feed's localCheckpoint in :func:`cdc_merge_incremental`'s TIMED
+    feed_build phase paid ~4 orders scans (3 branches + the kmx scalar).
+    The branch predicates are disjoint key residues, so one filtered
+    scan with CASE projections produces the identical row multiset
+    (asserted by xxhash64 checksum + count in tools/cdc_feed_ab_r15.py
+    at sf30 and by sorted-rows tests at small SF) from ONE scan + kmx.
+    """
+    m = F.col("o_orderkey") % 10
+    return (
+        o.where(m.isin(1, 3, 7))
         .crossJoin(F.broadcast(_key_max(o)))
         .select(
-            (F.col("o_orderkey") + F.col("kmx")).alias("key"),
-            F.lit("I").alias("op"),
-            F.col("o_totalprice").alias("price"),
-            F.lit("N").alias("status"),
+            F.when(m == 1, F.col("o_orderkey") + F.col("kmx"))
+            .otherwise(F.col("o_orderkey"))
+            .alias("key"),
+            F.when(m == 3, "U").when(m == 7, "D").otherwise("I").alias("op"),
+            F.when(m == 3, F.col("o_totalprice") + 100.0)
+            .when(m == 1, F.col("o_totalprice"))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("price"),
+            F.when(m == 3, "U")
+            .when(m == 1, "N")
+            .otherwise(F.lit(None).cast("string"))
+            .alias("status"),
         )
     )
-    return upd.unionAll(dele).unionAll(ins)
+
+
+def _changes_batch2(o):
+    """Batch 2 of :func:`cdc_merge_incremental`'s feed — update-then-
+    delete (%10=3 now deletes), fresh updates (%10=5), insert-then-update
+    (%20=1 re-keyed past kmx). Same single-scan CASE form (and the same
+    multiset-identity evidence) as :func:`_changes_batch1`."""
+    k = F.col("o_orderkey")
+    m = k % 10
+    ins = k % 20 == 1
+    return (
+        o.where((m == 5) | (m == 3) | ins)
+        .crossJoin(F.broadcast(_key_max(o)))
+        .select(
+            F.when(ins, k + F.col("kmx")).otherwise(k).alias("key"),
+            F.when(m == 3, "D").otherwise("U").alias("op"),
+            F.when(m == 5, F.col("o_totalprice") + 50.0)
+            .when(ins, F.col("o_totalprice") * 2)
+            .otherwise(F.lit(None).cast("double"))
+            .alias("price"),
+            F.when(m == 5, "V")
+            .when(ins, "M")
+            .otherwise(F.lit(None).cast("string"))
+            .alias("status"),
+        )
+    )
 
 
 def _merge_batch(snapshot, changes):

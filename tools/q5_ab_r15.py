@@ -209,5 +209,110 @@ def main():
     print(f"load_avg now: {os.getloadavg()}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not (
+    len(sys.argv) > 1 and sys.argv[1] == "ordersfirst"
+):
     main()
+
+
+def of_v0_ordersfirst(t):
+    """The orders-first branch exactly as shipped (for small-SF A/B where
+    the registry takes this branch anyway -- handwritten so both forms
+    construct identically)."""
+    asia_n, s_asia, oc, lx = _q5_parts(t)
+    j = lx.join(F.broadcast(oc), lx.l_orderkey == oc.o_orderkey)
+    j = j.join(
+        F.broadcast(s_asia),
+        (j.l_suppkey == s_asia.s_suppkey)
+        & (F.col("c_nationkey") == s_asia.s_nationkey),
+    )
+    return _finish(j, asia_n)
+
+
+def of_v1_packed_semi(t):
+    """Orders-first with the SECOND probe packed+semi: s_nationkey ==
+    c_nationkey under the join condition, so grouping on c_nationkey is
+    equivalent and s_asia (unique per suppkey) needs no payload."""
+    asia_n, s_asia, oc, lx = _q5_parts(t)
+    j = lx.join(F.broadcast(oc), lx.l_orderkey == oc.o_orderkey)
+    sa_packed = s_asia.select(
+        (F.col("s_suppkey") * 32 + F.col("s_nationkey")).alias("sak")
+    )
+    j = j.join(
+        F.broadcast(sa_packed),
+        (j.l_suppkey * 32 + F.col("c_nationkey")) == sa_packed.sak,
+        "left_semi",
+    )
+    per_nation = j.groupBy("c_nationkey").agg(F.sum("rev_micro").alias("rt"))
+    return per_nation.join(
+        F.broadcast(asia_n), F.col("c_nationkey") == asia_n.n_nationkey
+    ).select("n_name", (F.col("rt") / F.lit(1e6)).alias("revenue"))
+
+
+def main_ordersfirst():
+    """A/B the orders-first branch at small/mid SF under the BENCH conf
+    for that scale (so the measured branch is the branch the bench runs).
+    Usage: python tools/q5_ab_r15.py ordersfirst [sf_dir] [passes]"""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scaled/sf10"
+    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    sf_dir = bench._rechunk(sf_dir)
+    bench._warm_page_cache(sf_dir)
+
+    def _tbl_size(f):
+        p = os.path.join(sf_dir, f)
+        if os.path.isdir(p):
+            return sum(os.path.getsize(os.path.join(p, g)) for g in os.listdir(p))
+        return os.path.getsize(p)
+
+    largest = max(
+        (_tbl_size(f) for f in os.listdir(sf_dir) if f.endswith(".parquet")),
+        default=10 * 1024 * 1024,
+    )
+    small = largest < 64 * 1024 * 1024
+    bcast = min(max(largest // 16, 10 * 1024 * 1024), 64 * 1024 * 1024)
+    spark = get_spark(
+        app_name="q5-ab-of-r15",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(256 * 1024 * 1024),
+            "spark.sql.shuffle.partitions": "8" if small else "32",
+            "spark.sql.adaptive.enabled": "false" if small else "true",
+            "spark.sql.autoBroadcastJoinThreshold": str(bcast),
+            "spark.driver.memory": "24g",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t = register_views(spark, sf_dir)
+    qs = queries()
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    forms = {
+        "of_v0_shipped_registry": lambda: qs["tpch_q5_local_supplier_volume"](
+            spark, sf_dir
+        ),
+        "of_v0_ordersfirst": lambda: of_v0_ordersfirst(t),
+        "of_v1_packed_semi": lambda: of_v1_packed_semi(t),
+    }
+    base = rows(forms["of_v0_ordersfirst"]())
+    assert rows(forms["of_v0_shipped_registry"]()) == base
+    assert rows(forms["of_v1_packed_semi"]()) == base
+    print("outputs identical across orders-first forms", flush=True)
+    res = {}
+    for p in range(passes):
+        for name, fn in forms.items():
+            spark.sparkContext.setJobDescription(f"{name} pass {p}")
+            df = fn()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            res.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
+    for name, vals in res.items():
+        print(f"{name}: min {min(vals)} passes {vals}", flush=True)
+    print(f"load_avg now: {os.getloadavg()}")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "ordersfirst":
+    main_ordersfirst()
+    sys.exit(0)
