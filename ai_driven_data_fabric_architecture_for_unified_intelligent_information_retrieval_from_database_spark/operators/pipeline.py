@@ -150,10 +150,17 @@ def pipeline_curation_funnel(spark, t):
     than materializes shared branches; stage 5 is computed by exact
     integer SUBTRACTION from those two aggregates (see the inline note),
     which is what keeps it at two evaluations instead of three plus an
-    anti-join. A deployment that persists the flags projection (one
-    corpus pass) collapses the whole funnel to that pass plus the fp
-    exchange; the entry stays materialization-free so the bench times
-    the engine, not a cache.
+    anti-join. IN-WINDOW materialization of the shared subtree is
+    legitimate optimization (unlike cross-run caching) and was MEASURED
+    in r15 (tools/funnel_ckpt_ab_r15.py, sf30 interleaved min-of-4,
+    outputs identical): eager localCheckpoint of the full flags
+    projection 8.13 s, of the post-window survivors 8.86 s, shipped
+    materialization-free form 7.84 s — materializing the word arrays
+    costs more than the re-derivation it saves (the basket_lift_rules
+    r14 lesson repeating), so the lazy form stands on the numbers. A
+    deployment that runs the funnel REPEATEDLY amortizes a persisted
+    flags projection across runs — that cross-run form is the one the
+    bench must not time.
 
     Output is six (stage, n_docs, n_tokens) rows — the data-card funnel.
     """
