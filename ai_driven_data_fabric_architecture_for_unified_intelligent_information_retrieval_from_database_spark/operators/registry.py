@@ -46,80 +46,81 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 #: regardless).  Round-window history lives in README.md ("Correctness window
 #: rotation").
 #:
-#: Round 14 window (r13 verdict task 5). Composition:
-#: 1. the r09 tail FIRST — the three entries whose latest driver check
-#:    is r09 (nl_avg_order_value, nl_count_parts, nl_revenue_by_nation);
-#:    fronting them makes "no entry's latest check older than r10" true
-#:    at the r14 check no matter where the ~50 cut lands;
-#: 2. round-14 operator-touched entries not already in the r10 cohort —
-#:    tpch_q5 (mid-band cap now driver-memory-derived + probe band
-#:    tightened), cdc_merge_incremental (layout guard moved outside the
-#:    timed window), and the basket-explode-spine family under audit
-#:    this round (graph_pagerank_parts, basket_lift_rules,
-#:    bucketed_join_revenue);
-#: 3. the full r10 cohort (45 entries), round-14-audited members
-#:    (sampling_temperature_mix) first, then substantial shapes, the
-#:    simplest locally-verified NL shapes last so a 50-entry cut drops
-#:    only those (they stay r10 — still within the staleness bound).
+#: Round 15 window (r14 verdict task 8). After the r14 window, the
+#: oldest remaining checks were: r10 (the three nl_docs_* entries the
+#: 50-entry cut dropped from the r14 window's tail) and the 40-entry
+#: r11 cohort. Composition:
+#: 1. the r10 tail FIRST — nl_docs_dedup_survivors /
+#:    nl_docs_near_duplicates / nl_docs_similar_embeddings; fronting
+#:    them makes "no entry's latest check older than r11" true at the
+#:    r15 check no matter where the ~50 cut lands — and with the full
+#:    r11 cohort below also checked, the bound advances to r12;
+#: 2. round-15 operator-touched entries — tpch_q5 (packed-long semi
+#:    mid-band probe), cdc_merge_incremental + cdc_merge_apply (the
+#:    shared change feed is now the single-scan CASE form);
+#: 3. the full r11 cohort (40 entries): round-15-audited members
+#:    (pipeline_curation_funnel — checkpoint A/B) and substantial
+#:    shapes first, the simplest locally-verified NL shapes last;
+#: 4. r12-checked fillers at the very end (already within the bound;
+#:    they pad the window to ~50 so a short cut still lands on cohort
+#:    entries only).
 #: Names not yet registered are skipped harmlessly.
 SAMPLE_PRIORITY: list[str] = [
-    # --- the r09 tail (oldest three) ---
-    "nl_avg_order_value",
-    "nl_count_parts",
-    "nl_revenue_by_nation",
-    # --- round-14 operator-touched (not in the r10 cohort) ---
-    "tpch_q5_local_supplier_volume",
-    "cdc_merge_incremental",
-    "graph_pagerank_parts",
-    "basket_lift_rules",
-    "bucketed_join_revenue",
-    # --- the r10 cohort (45 entries; round-14-audited members first,
-    # then substantial shapes, simplest NL shapes last) ---
-    "sampling_temperature_mix",
-    "window_range_interval_trailing",
-    "window_yoy_growth",
-    "window_rank_per_group",
-    "window_running_sum",
-    "window_lag_delta",
-    "cdc_scd2_intervals",
-    "dedup_components",
-    "dedup_components_star",
-    "dedup_minhash_lsh",
-    "dedup_cluster_representatives",
-    "text_decontaminate",
-    "text_pii_scrub",
-    "text_tfidf_top_terms",
-    "streaming_daily_rollup",
-    "join_inner_filtered",
-    "join_left_agg",
-    "join_semi",
-    "join_anti",
-    "agg_count_distinct",
-    "agg_count_star",
-    "agg_distinct",
-    "agg_filtered_count",
-    "agg_group_avg",
-    "agg_min_max_avg",
-    "case_when_bucketing",
-    "filter_between",
-    "filter_date_range",
-    "filter_disjunction",
-    "filter_ilike_lower",
-    "filter_ilike_operator",
-    "filter_not_null_group_count",
-    "filter_threshold_topk",
-    "filter_year_extract",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_multi_col_limit",
-    "topk_global",
-    "scan_project_limit",
-    "project_computed_alias",
-    "scalar_functions",
+    # --- the r10 tail (oldest three) ---
     "nl_docs_dedup_survivors",
     "nl_docs_near_duplicates",
     "nl_docs_similar_embeddings",
+    # --- round-15 operator-touched ---
+    "tpch_q5_local_supplier_volume",
+    "cdc_merge_incremental",
+    "cdc_merge_apply",
+    # --- the r11 cohort (40 entries; round-15-audited + substantial
+    # shapes first, simplest NL shapes last) ---
+    "pipeline_curation_funnel",
+    "join_star_flagship",
+    "tpch_q12_ship_priority_counts",
+    "tpch_q16_supplier_relationship_count",
+    "tpch_q20_dominant_part_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_dedup_latest_state",
+    "events_json_extract",
+    "events_json_schema_parse",
+    "asof_join_event_signup",
+    "basket_part_pairs",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_ann",
+    "similarity_threshold_pairs",
+    "similarity_topk_per_query",
+    "streaming_dedup_watermark",
+    "streaming_static_enrichment",
+    "streaming_tumbling_hourly",
+    "text_repetition_stats",
+    "layout_zorder_box_read",
+    "multimodal_decode_ppm_real",
+    "source_schema_evolution",
+    "join_full_outer",
+    "agg_percentiles",
+    "agg_variance_stddev",
+    "conditional_null_functions",
+    "date_functions",
+    "string_functions",
+    "nl_avg_order_value_by_segment",
+    "nl_count_suppliers",
+    "nl_docs_by_language",
+    "nl_events_by_hour",
+    "nl_events_by_type",
+    "nl_longest_documents",
+    "nl_most_active_users",
+    "nl_orders_by_year",
+    "nl_revenue_by_region",
+    "nl_users_live_profile",
+    # --- r12-checked fillers (within bound; pad to ~50) ---
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
 ]
 
 
